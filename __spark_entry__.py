@@ -1,38 +1,278 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: Common-Crawl-style pages (GTFS fixture
+pages + noise pages wrapped from sf0.001 documents) -> pandas-UDF
+extraction -> Linked Connections pipeline -> JSON-LD connection rows.
+
+``queries()`` / ``oracle_sql()`` — per-operator checks. GTFS operators
+run on the synthesized sample feed and their DuckDB oracles inline the
+same fixture as literal CTEs (gtfs2lc_spark/oracle.py); star-schema and
+datapipe operators run on the driver's sf parquet tables.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gtfs2lc_spark import extraction, fixtures, oracle, pipeline, sinks
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fixture_connections(spark: SparkSession) -> DataFrame:
+    dfs = fixtures.entity_dfs(spark)
+    return pipeline.convert(
+        dfs["stop_times"], dfs["trips"], dfs["routes"], dfs["stops"],
+        dfs["calendar"], dfs["calendar_dates"], salt_n=16,
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages table (fixture feed + sf0.001 document texts as
+    noise pages) -> extraction -> connections -> JSON-LD rows."""
+    docs = _load(spark, "/root/testdata/sf0.001", "documents")
+    noise = docs.select(
+        F.concat(F.lit("https://noise.example.org/doc/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-15 00:00:00")).alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    pages = fixtures.pages_df(spark, noise_pages=0).unionByName(noise)
+    e = extraction.extract_entities(pages)
+    conns = pipeline.convert(
+        e["stop_times"], e["trips"], e["routes"], e["stops"],
+        e["calendar"], e["calendar_dates"], salt_n=16,
+    )
+    return sinks.connections_to_jsonld(conns).drop("departure_ts", "arrival_ts")
+
+
+# ---------------------------------------------------------------------------
+# GTFS operator queries (fixture-driven; sf_dir unused)
+# ---------------------------------------------------------------------------
+
+def _q_gtfs_service_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = fixtures.entity_dfs(spark)
+    services = pipeline.expand_services(dfs["calendar"], dfs["calendar_dates"])
+    return services.select(
+        "service_id", F.explode("dates").alias("service_date")
+    )
+
+
+def _q_gtfs_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = fixtures.entity_dfs(spark)
+    rules = pipeline.stop_times_to_rules(
+        dfs["stop_times"], dfs["trips"], dfs["routes"], dfs["stops"]
+    )
+    return rules.select(
+        "trip_id",
+        F.col("dep_stop_id"),
+        F.col("arr_stop_id"),
+        "departure_dfm",
+        "arrival_dfm",
+        "trip_start_dfm",
+        "stop_sequence",
+        "pickup_type",
+        "drop_off_type",
+        "headsign",
+    )
+
+
+def _q_gtfs_connections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jl = sinks.connections_to_jsonld(_fixture_connections(spark))
+    return jl.select(
+        "id", "departureStop", "arrivalStop", "departureTime", "arrivalTime",
+        "gtfs_trip", "gtfs_route",
+        F.col("direction"), "gtfs_pickupType", "gtfs_dropOffType",
+    )
+
+
+def _q_gtfs_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = sinks.connections_to_triples(_fixture_connections(spark))
+    return tr.select("subj", "pred", "obj")
+
+
+# ---------------------------------------------------------------------------
+# Star-schema operator analogs (driver parquet tables)
+# ---------------------------------------------------------------------------
+
+def _q_w1_lag_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 shape: lag window over (key, sequence) pairing consecutive rows."""
+    li = _load(spark, sf_dir, "lineitem")
+    # synthetic lineitem has duplicate l_linenumber per order: break ties
+    # deterministically so Spark and DuckDB agree on lag order
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    return (
+        li.withColumn("prev_linenumber", F.lag("l_linenumber").over(w))
+        .withColumn("prev_partkey", F.lag("l_partkey").over(w))
+        .where(F.col("prev_linenumber").isNotNull())
+        .select("l_orderkey", "l_linenumber", "prev_linenumber", "l_partkey", "prev_partkey")
+    )
+
+
+def _q_j6_date_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 shape: per-row date-range explode (calendar expansion)."""
+    o = _load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(
+                F.to_date("o_orderdate"),
+                F.date_add(F.to_date("o_orderdate"), 2),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    ).select("o_orderkey", F.date_format("day", "yyyy-MM-dd").alias("service_day"))
+
+
+def _q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J3 shape: fact + broadcast dimension chain, grouped revenue."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_a1_grouped_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 shape: groupBy + collect_set (as sorted csv string for a
+    engine-portable value hash)."""
+    o = _load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q_o2_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 shape: deterministic multi-key ordering surfaced as row_number."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 500)
+        .select("rn", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents/embeddings tables)
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "gtfs_service_expansion": _q_gtfs_service_expansion,
+        "gtfs_rules": _q_gtfs_rules,
+        "gtfs_connections": _q_gtfs_connections,
+        "gtfs_triples": _q_gtfs_triples,
+        "w1_lag_pairs": _q_w1_lag_pairs,
+        "j6_date_explode": _q_j6_date_explode,
+        "broadcast_enrich": _q_broadcast_enrich,
+        "a1_grouped_sets": _q_a1_grouped_sets,
+        "o2_multikey_sort": _q_o2_multikey_sort,
+        "dedup_exact": _q_dedup_exact,
+        "text_token_count": _q_text_token_count,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "gtfs_service_expansion": oracle.sql_service_expansion(),
+        "gtfs_rules": oracle.sql_rules(),
+        "gtfs_connections": oracle.sql_connections(),
+        "gtfs_triples": oracle.sql_triples(),
+        "w1_lag_pairs": """
+            SELECT l_orderkey, l_linenumber, prev_linenumber, l_partkey, prev_partkey
+            FROM (
+              SELECT l_orderkey, l_linenumber, l_partkey,
+                     lag(l_linenumber) OVER w AS prev_linenumber,
+                     lag(l_partkey) OVER w AS prev_partkey
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_orderkey
+                           ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)
+            ) WHERE prev_linenumber IS NOT NULL
+        """,
+        "j6_date_explode": """
+            SELECT o_orderkey,
+                   strftime(CAST(unnest(generate_series(
+                     CAST(o_orderdate AS DATE),
+                     CAST(o_orderdate AS DATE) + INTERVAL 2 DAY,
+                     INTERVAL 1 DAY)) AS DATE), '%Y-%m-%d') AS service_day
+            FROM orders
+        """,
+        "broadcast_enrich": """
+            SELECT r_name, n_name,
+                   CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "a1_grouped_sets": """
+            SELECT o_orderpriority,
+                   array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+                   COUNT(*) AS n
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "o2_multikey_sort": """
+            SELECT rn, event_id FROM (
+              SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, event_id
+              FROM events
+            ) WHERE rn <= 500
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) AS n_chars_measured
+            FROM documents
+        """,
+    }

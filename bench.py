@@ -1,0 +1,112 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+  {"metric": "lc_connection_triples_per_sec", "value": N, "unit": "...",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_FEEDS (default 120 replicated
+sample feeds ≈ 416k connections ≈ 3.6M triples).
+
+All queries force full materialization via the noop datasource (count()
+would let Catalyst prune the projection work we want to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gtfs2lc_spark import extraction, fixtures, pipeline, sinks  # noqa: E402
+from gtfs2lc_spark.session import build_session  # noqa: E402
+
+TRIPLES_PER_FEED = 29992  # measured & oracle-verified (tests/test_pipeline_e2e.py)
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_feeds = int(os.environ.get("SPARK_GRAFT_FEEDS", "120"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    spark = build_session(
+        app_name="gtfs2lc-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # warm the JVM/codegen once on a single tiny feed
+    warm = fixtures.pages_df(spark, noise_pages=0)
+    e = extraction.extract_entities(warm)
+    _force(
+        pipeline.convert(
+            e["stop_times"], e["trips"], e["routes"], e["stops"],
+            e["calendar"], e["calendar_dates"], salt_n=8,
+        )
+    )
+
+    # headline: pages -> extraction -> connections -> triples, n_feeds copies
+    pages = fixtures.pages_df_scaled(
+        spark, n_feeds, noise_pages=40, n_partitions=cpus * 2
+    ).cache()
+    pages.count()
+
+    def gtfs_triples():
+        ent = extraction.extract_entities(pages)
+        conns = pipeline.convert(
+            ent["stop_times"], ent["trips"], ent["routes"], ent["stops"],
+            ent["calendar"], ent["calendar_dates"], salt_n=64,
+        )
+        _force(sinks.connections_to_triples(conns))
+
+    timed("gtfs_pipeline_triples", gtfs_triples)
+
+    qs = entry_mod.queries()
+    for name in (
+        "w1_lag_pairs",
+        "j6_date_explode",
+        "broadcast_enrich",
+        "o2_multikey_sort",
+        "dedup_exact",
+        "text_token_count",
+    ):
+        timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
+
+    total_triples = n_feeds * TRIPLES_PER_FEED
+    tps = round(total_triples / timings["gtfs_pipeline_triples"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "lc_connection_triples_per_sec",
+                "value": tps,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_feeds": n_feeds,
+                "total_triples": total_triples,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

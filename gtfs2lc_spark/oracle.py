@@ -1,0 +1,253 @@
+"""DuckDB oracle SQL for the GTFS pipeline queries.
+
+The driver runs each ``__spark_entry__.queries()`` entry AND the
+matching SQL here side-by-side (sf0.01 parquet views pre-registered)
+and compares row-count + schema + order-insensitive value hash. For the
+GTFS operators the input is the synthesized sample feed, which we inline
+as literal CTEs built from the very same fixture constants the Spark
+side uses — one source of truth, two independent execution engines.
+"""
+
+from __future__ import annotations
+
+from .fixtures import SAMPLE_FEED_CSV
+from .schemas import GTFS_FILE_COLS
+
+FEED_TZ = "Europe/Brussels"
+
+
+def _values_cte(name: str, file_name: str) -> str:
+    cols = GTFS_FILE_COLS[file_name]
+    lines = [ln for ln in SAMPLE_FEED_CSV[file_name].split("\n") if ln.strip()]
+    rows = []
+    for ln in lines[1:]:
+        vals = ln.split(",")
+        vals += [""] * (len(cols) - len(vals))
+        rows.append("(" + ", ".join("'" + v.replace("'", "''") + "'" for v in vals) + ")")
+    collist = ", ".join(cols)
+    return f"{name}({collist}) AS (VALUES\n  " + ",\n  ".join(rows) + "\n)"
+
+
+def gtfs_base_ctes() -> str:
+    return ",\n".join(
+        [
+            _values_cte("g_stop_times", "stop_times.txt"),
+            _values_cte("g_trips", "trips.txt"),
+            _values_cte("g_routes", "routes.txt"),
+            _values_cte("g_stops", "stops.txt"),
+            _values_cte("g_calendar", "calendar.txt"),
+            _values_cte("g_calendar_dates", "calendar_dates.txt"),
+        ]
+    )
+
+
+SERVICE_DAYS_CTE = """
+g_added AS (
+  SELECT service_id, date FROM g_calendar_dates WHERE exception_type = '1'
+),
+g_removed AS (
+  SELECT service_id, date FROM g_calendar_dates WHERE exception_type = '2'
+),
+g_caldays AS (
+  SELECT c.service_id, strftime(dd.d, '%Y%m%d') AS date
+  FROM g_calendar c,
+       LATERAL (
+         SELECT CAST(unnest(generate_series(
+           CAST(strptime(c.start_date, '%Y%m%d') AS DATE),
+           CAST(strptime(c.end_date, '%Y%m%d') AS DATE),
+           INTERVAL 1 DAY)) AS DATE) AS d
+       ) dd
+  WHERE list_extract(
+          [c.sunday, c.monday, c.tuesday, c.wednesday, c.thursday, c.friday, c.saturday],
+          dayofweek(dd.d) + 1) = '1'
+),
+g_service_days AS (
+  SELECT service_id, date FROM g_added
+  UNION
+  SELECT cd.service_id, cd.date
+  FROM g_caldays cd
+  WHERE NOT EXISTS (
+    SELECT 1 FROM g_removed r
+    WHERE r.service_id = cd.service_id AND r.date = cd.date
+  )
+)
+"""
+
+
+def _dfm_seconds(col: str) -> str:
+    return (
+        f"(CAST(split_part({col}, ':', 1) AS BIGINT) * 3600"
+        f" + CAST(split_part({col}, ':', 2) AS BIGINT) * 60"
+        f" + CAST(COALESCE(NULLIF(split_part({col}, ':', 3), ''), '0') AS BIGINT))"
+    )
+
+
+RULES_CTE = """
+g_paired AS (
+  SELECT trip_id, arrival_time, departure_time, stop_id,
+         CAST(stop_sequence AS INT) AS seq,
+         pickup_type, drop_off_type,
+         lag(stop_id) OVER w AS prev_stop_id,
+         lag(departure_time) OVER w AS prev_departure_time,
+         lag(pickup_type) OVER w AS prev_pickup_type,
+         lag(stop_sequence) OVER w AS prev_stop_sequence,
+         first_value(departure_time) OVER w AS trip_start_dfm
+  FROM g_stop_times
+  WINDOW w AS (PARTITION BY trip_id ORDER BY CAST(stop_sequence AS INT))
+),
+g_rules AS (
+  SELECT p.*, t.service_id, t.route_id, t.trip_headsign,
+         r.route_long_name,
+         COALESCE(NULLIF(t.trip_headsign, ''), NULLIF(r.route_long_name, '')) AS headsign
+  FROM g_paired p
+  JOIN g_stops sd ON sd.stop_id = p.prev_stop_id
+  JOIN g_stops sa ON sa.stop_id = p.stop_id
+  JOIN g_trips t ON t.trip_id = p.trip_id
+  JOIN g_routes r ON r.route_id = t.route_id
+  WHERE p.prev_stop_id IS NOT NULL
+    AND NOT (p.arrival_time = '' AND p.departure_time = '')
+)
+"""
+
+
+def _epoch(date_col: str, dfm_col: str) -> str:
+    return (
+        f"(CAST(epoch(timezone('{FEED_TZ}', strptime({date_col}, '%Y%m%d'))) AS BIGINT)"
+        f" + {_dfm_seconds(dfm_col)})"
+    )
+
+
+def _iso(epoch_expr: str) -> str:
+    return f"strftime(make_timestamp({epoch_expr} * 1000000), '%Y-%m-%dT%H:%M:%S.%g') || 'Z'"
+
+
+def _local_yyyymmdd(epoch_expr: str) -> str:
+    return f"strftime(timezone('{FEED_TZ}', to_timestamp({epoch_expr})), '%Y%m%d')"
+
+
+CONNECTIONS_CTE = f"""
+g_connections AS (
+  SELECT
+    ru.trip_id, ru.prev_stop_id AS dep_stop_id, ru.stop_id AS arr_stop_id,
+    ru.prev_pickup_type AS pickup_type, ru.drop_off_type, ru.headsign,
+    sd.date AS service_date,
+    {_epoch("sd.date", "ru.prev_departure_time")} AS dep_epoch,
+    {_epoch("sd.date", "ru.arrival_time")} AS arr_epoch,
+    {_epoch("sd.date", "ru.trip_start_dfm")} AS start_epoch
+  FROM g_rules ru
+  JOIN g_service_days sd ON sd.service_id = ru.service_id
+)
+"""
+
+
+def gtfs_prelude() -> str:
+    return (
+        "WITH "
+        + gtfs_base_ctes()
+        + ","
+        + SERVICE_DAYS_CTE.strip().rstrip()
+        + ","
+        + RULES_CTE.strip()
+        + ","
+        + CONNECTIONS_CTE.strip()
+    )
+
+
+def sql_service_expansion() -> str:
+    return (
+        "WITH "
+        + gtfs_base_ctes()
+        + ","
+        + SERVICE_DAYS_CTE.strip()
+        + "\nSELECT service_id, date AS service_date FROM g_service_days"
+    )
+
+
+def sql_rules() -> str:
+    return (
+        "WITH "
+        + gtfs_base_ctes()
+        + ","
+        + SERVICE_DAYS_CTE.strip()
+        + ","
+        + RULES_CTE.strip()
+        + """
+SELECT trip_id,
+       prev_stop_id AS dep_stop_id,
+       stop_id AS arr_stop_id,
+       prev_departure_time AS departure_dfm,
+       arrival_time AS arrival_dfm,
+       trip_start_dfm,
+       CAST(prev_stop_sequence AS VARCHAR) AS stop_sequence,
+       COALESCE(prev_pickup_type, '') AS pickup_type,
+       COALESCE(drop_off_type, '') AS drop_off_type,
+       headsign
+FROM g_rules"""
+    )
+
+
+_BOARDING_LIST = "['gtfs:Regular', 'gtfs:NotAvailable', 'gtfs:MustPhone', 'gtfs:MustCoordinateWithDriver']"
+
+
+def sql_connections() -> str:
+    start_date = _local_yyyymmdd("start_epoch")
+    return (
+        gtfs_prelude()
+        + f"""
+SELECT
+  'http://example.org/connections/' || {start_date} || '/' || dep_stop_id || '/' || trip_id AS id,
+  'http://example.org/stops/' || dep_stop_id AS departureStop,
+  'http://example.org/stops/' || arr_stop_id AS arrivalStop,
+  {_iso("dep_epoch")} AS departureTime,
+  {_iso("arr_epoch")} AS arrivalTime,
+  'http://example.org/trips/' || trip_id || '/' || {start_date} AS gtfs_trip,
+  'http://example.org/routes/' || (SELECT t.route_id FROM g_trips t WHERE t.trip_id = g_connections.trip_id) AS gtfs_route,
+  headsign AS direction,
+  CASE WHEN COALESCE(pickup_type, '') <> ''
+       THEN list_extract({_BOARDING_LIST}, CAST(pickup_type AS INT) + 1) END AS gtfs_pickupType,
+  CASE WHEN COALESCE(drop_off_type, '') <> ''
+       THEN list_extract({_BOARDING_LIST}, CAST(drop_off_type AS INT) + 1) END AS gtfs_dropOffType
+FROM g_connections"""
+    )
+
+
+def sql_triples() -> str:
+    """(subj, pred, obj) explosion of the full connection set —
+    the P/R comparison surface (lib/Connections2Triples.js:31-99)."""
+    start_date = _local_yyyymmdd("start_epoch")
+    base = f"""
+g_jsonld AS (
+  SELECT
+    'http://example.org/connections/' || {start_date} || '/' || dep_stop_id || '/' || trip_id AS id,
+    'http://example.org/stops/' || dep_stop_id AS dep_uri,
+    'http://example.org/stops/' || arr_stop_id AS arr_uri,
+    {_iso("dep_epoch")} AS dep_iso,
+    {_iso("arr_epoch")} AS arr_iso,
+    'http://example.org/trips/' || trip_id || '/' || {start_date} AS trip_uri,
+    'http://example.org/routes/' || (SELECT t.route_id FROM g_trips t WHERE t.trip_id = g_connections.trip_id) AS route_uri,
+    headsign, pickup_type, drop_off_type
+  FROM g_connections
+)"""
+    lc = "http://semweb.mmlab.be/ns/linkedconnections#"
+    gt = "http://vocab.gtfs.org/terms#"
+    full_boarding = (
+        f"['{gt}Regular', '{gt}NotAvailable', '{gt}MustPhone', '{gt}MustCoordinateWithDriver']"
+    )
+    return (
+        gtfs_prelude()
+        + ","
+        + base
+        + f"""
+SELECT id AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred, '{lc}Connection' AS obj FROM g_jsonld
+UNION ALL SELECT id, '{lc}departureStop', dep_uri FROM g_jsonld
+UNION ALL SELECT id, '{lc}arrivalStop', arr_uri FROM g_jsonld
+UNION ALL SELECT id, '{lc}departureTime', dep_iso FROM g_jsonld
+UNION ALL SELECT id, '{lc}arrivalTime', arr_iso FROM g_jsonld
+UNION ALL SELECT id, '{gt}trip', trip_uri FROM g_jsonld
+UNION ALL SELECT id, '{gt}route', route_uri FROM g_jsonld
+UNION ALL SELECT id, '{gt}headsign', headsign FROM g_jsonld WHERE headsign IS NOT NULL AND headsign <> ''
+UNION ALL SELECT id, '{gt}dropOffType', list_extract({full_boarding}, CAST(drop_off_type AS INT) + 1)
+  FROM g_jsonld WHERE COALESCE(drop_off_type, '') <> ''
+UNION ALL SELECT id, '{gt}pickupType', list_extract({full_boarding}, CAST(pickup_type AS INT) + 1)
+  FROM g_jsonld WHERE COALESCE(pickup_type, '') <> ''"""
+    )

@@ -1,0 +1,346 @@
+"""Layer B — the Linked Connections pipeline as Spark DataFrame algebra.
+
+Stage map (reference -> here; SURVEY.md §2):
+
+- A1/A2/J5  calendar + calendar_dates -> expanded service dates
+  (lib/services/CalendarExpander.js, lib/stores/StoreManager.js:52-70)
+  => ``expand_services``
+- W1/A3/J1-J4/P1-P4  stop_times lag pairing + dimension enrichment
+  (lib/stoptimes/st2c.js) => ``stop_times_to_rules``
+- J6/P5-P8  service-day explode + timestamp build
+  (lib/ConnectionsBuilder.js) => ``rules_to_connections``
+
+Scale posture (the part the reference hand-rolled with worker_threads
+and LevelDB; SURVEY.md §4):
+
+- stops/routes/trips/services are *dimensions*: broadcast hash joins,
+  zero shuffle. At 100 TB the fact side (stop_times / pages) never
+  re-shuffles for enrichment.
+- The only unavoidable wide exchange is the W1 window shuffle on
+  (feed_id, trip_id). Trips are short (bounded stops/trip), so the
+  window itself cannot skew a partition; skew appears *after* the
+  service-day explode (a mega-trip × 365 days). We therefore salt the
+  exploded output: ``repartition(salt(uniqueId))`` spreads a hot trip's
+  connections over SALT_N reducers before any downstream wide op, and
+  AQE skew-join handles residual imbalance.
+- The J6 explode multiplies rows ~180x on the fixture; all
+  date-independent work (joins, headsign, uniqueId) happens *before*
+  the explode, date-dependent work (timestamps, URIs) after — the same
+  cost split the reference gets from its rule-shard intermediates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_N = 64
+
+
+def _nullif_empty(c: Column) -> Column:
+    return F.nullif(c, F.lit(""))
+
+
+def _blank(c: Column) -> Column:
+    """JS-ish: undefined/null -> '' (string-typed row model, SURVEY §1.1)."""
+    return F.coalesce(c, F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# A1 + A2 + J5 — service-date expansion
+# ---------------------------------------------------------------------------
+
+def expand_services(calendar: DataFrame, calendar_dates: DataFrame) -> DataFrame:
+    """(feed_id, service_id, dates: array<string yyyyMMdd>).
+
+    Semantics (lib/services/CalendarExpander.js:14-68):
+    dates = added ∪ (days-in-[start,end] where weekday flag == '1' ∖ removed);
+    services appearing only in calendar_dates keep just their added days
+    (the expander's _flush). Full-outer join reproduces both sides.
+
+    Added days are placed first in the array, matching the reference's
+    insertion order (order is otherwise insignificant — consumers treat
+    it as a set).
+    """
+    # A1 — group exceptions per service (StoreManager.js:52-70)
+    exceptions = calendar_dates.groupBy("feed_id", "service_id").agg(
+        F.sort_array(
+            F.collect_set(F.when(F.col("exception_type") == "1", F.col("date")))
+        ).alias("added"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("exception_type") == "2", F.col("date")))
+        ).alias("removed"),
+    )
+
+    # A2 — enumerate [start_date, end_date], keep days whose weekday flag is '1'
+    day = F.explode(
+        F.sequence(
+            F.to_date("start_date", "yyyyMMdd"),
+            F.to_date("end_date", "yyyyMMdd"),
+            F.expr("interval 1 day"),
+        )
+    ).alias("day")
+    # dayofweek: 1=Sunday..7=Saturday
+    flags = F.array(
+        "sunday", "monday", "tuesday", "wednesday", "thursday", "friday", "saturday"
+    )
+    weekday_days = (
+        calendar.select("feed_id", "service_id", F.col("start_date"), F.col("end_date"), flags.alias("flags"))
+        .select("feed_id", "service_id", "flags", day)
+        .where(F.element_at(F.col("flags"), F.dayofweek("day")) == "1")
+        .groupBy("feed_id", "service_id")
+        .agg(F.sort_array(F.collect_list(F.date_format("day", "yyyyMMdd"))).alias("weekday_days"))
+    )
+    # calendars with zero matching days must still exist for the full-outer
+    all_calendars = calendar.select("feed_id", "service_id").distinct()
+    weekday_days = all_calendars.join(weekday_days, ["feed_id", "service_id"], "left")
+
+    # J5 — full outer: calendars consume exceptions; exception-only services
+    # flush as add-only lists (CalendarExpander.js:57-68)
+    empty = F.array().cast("array<string>")
+    joined = weekday_days.join(exceptions, ["feed_id", "service_id"], "full_outer")
+    return joined.select(
+        "feed_id",
+        "service_id",
+        F.array_union(
+            F.coalesce("added", empty),
+            F.array_except(F.coalesce("weekday_days", empty), F.coalesce("removed", empty)),
+        ).alias("dates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 + A3 + J1-J4 + P1-P4 — connection rules
+# ---------------------------------------------------------------------------
+
+def stop_times_to_rules(
+    stop_times: DataFrame,
+    trips: DataFrame,
+    routes: DataFrame,
+    stops: DataFrame,
+) -> DataFrame:
+    """Pair consecutive stop_times of a trip into connection rules.
+
+    The reference's stateful stream scan over sorted stop_times
+    (lib/stoptimes/st2c.js:27-117) becomes one window: lag() over
+    (feed_id, trip_id) ordered by int(stop_sequence) — trip_id compared
+    lexically, stop_sequence numerically, exactly the cleaner's sort
+    comparator (bin/gtfs2lc-clean.js:34-38).
+
+    Dimension enrichment (J1-J3) is broadcast-only; the fact side keeps
+    its (feed_id, trip_id) clustering from the window shuffle, so the
+    downstream explode needs no further exchange.
+    """
+    st = stop_times.withColumn("stop_sequence_int", F.col("stop_sequence").cast("int"))
+    w = Window.partitionBy("feed_id", "trip_id").orderBy("stop_sequence_int")
+
+    paired = (
+        st.withColumn("prev_stop_id", F.lag("stop_id").over(w))
+        .withColumn("prev_departure_time", F.lag("departure_time").over(w))
+        .withColumn("prev_pickup_type", F.lag("pickup_type").over(w))
+        .withColumn("prev_stop_headsign", F.lag("stop_headsign").over(w))
+        .withColumn("prev_stop_sequence", F.lag("stop_sequence").over(w))
+        # A3: trip start time = departure_time of the trip's first stop_time
+        .withColumn("trip_start_dfm", F.first("departure_time").over(w))
+    )
+
+    rules = paired.where(F.col("prev_stop_id").isNotNull()).where(
+        # P1: current stop with both times empty is skipped (st2c.js:32-43)
+        ~((F.col("arrival_time") == "") & (F.col("departure_time") == ""))
+    )
+
+    # J1-J3 — dimension lookups. Prefixed copies of every dim column plus
+    # a join-key column named exactly like the fact side, so the joins are
+    # name-equi (keys dedupe automatically) and all stay broadcast.
+    def dim(df: DataFrame, prefix: str, key_src: str, key_as: str) -> DataFrame:
+        return df.select(
+            "feed_id",
+            F.col(key_src).alias(key_as),
+            *[
+                F.col(c).alias(f"{prefix}{c}")
+                for c in df.columns
+                if c not in ("feed_id", "url")
+            ],
+        )
+
+    enriched = (
+        rules.join(F.broadcast(dim(stops, "dep_", "stop_id", "prev_stop_id")), ["feed_id", "prev_stop_id"], "inner")
+        .join(F.broadcast(dim(stops, "arr_", "stop_id", "stop_id")), ["feed_id", "stop_id"], "inner")
+        .join(F.broadcast(dim(trips, "trip_", "trip_id", "trip_id")), ["feed_id", "trip_id"], "inner")
+        .withColumn("route_key", F.col("trip_route_id"))
+        .join(F.broadcast(dim(routes, "route_", "route_id", "route_key")), ["feed_id", "route_key"], "inner")
+        .drop("route_key")
+    )
+
+    # P2 — headsign chain (current-code semantics, st2c.js:55-62):
+    # arrival stop's stop_headsign (only if stops.txt carries one) ->
+    # trip_headsign -> route_long_name
+    headsign_chain = []
+    if "arr_stop_headsign" in enriched.columns:
+        headsign_chain.append(_nullif_empty(F.col("arr_stop_headsign")))
+    headsign_chain += [
+        _nullif_empty(F.col("trip_trip_headsign")),
+        _nullif_empty(F.col("route_route_long_name")),
+    ]
+
+    # P3 — stop_code fallback ids (only used inside uniqueId)
+    def code_or_id(prefix: str) -> Column:
+        if f"{prefix}stop_code" in enriched.columns:
+            return F.coalesce(
+                _nullif_empty(F.col(f"{prefix}stop_code")), F.col(f"{prefix}stop_id")
+            )
+        return F.col(f"{prefix}stop_id")
+
+    trip_short = (
+        _blank(F.col("trip_trip_short_name"))
+        if "trip_trip_short_name" in enriched.columns
+        else F.lit("")
+    )
+
+    # P4 — rule uniqueId (st2c.js:78-89); JS Array.join renders null as ''
+    unique_id = F.concat_ws(
+        "/",
+        F.regexp_replace(_blank(F.col("route_route_long_name")), r"\s", ""),
+        trip_short,
+        code_or_id("dep_"),
+        code_or_id("arr_"),
+        _blank(F.col("trip_start_dfm")),
+        _blank(F.col("prev_departure_time")),
+        _blank(F.col("arrival_time")),
+        _blank(F.col("prev_pickup_type")),
+        _blank(F.col("drop_off_type")),
+    )
+
+    return enriched.select(
+        "feed_id",
+        "trip_id",
+        F.col("trip_start_dfm"),
+        F.col("prev_departure_time").alias("departure_dfm"),
+        F.col("arrival_time").alias("arrival_dfm"),
+        F.col("prev_stop_sequence").alias("stop_sequence"),
+        F.col("stop_sequence_int"),
+        _blank(F.col("prev_pickup_type")).alias("pickup_type"),
+        _blank(F.col("drop_off_type")).alias("drop_off_type"),
+        F.coalesce(*headsign_chain).alias("headsign"),
+        (_nullif_empty(F.col("prev_stop_headsign")) if "prev_stop_headsign" in enriched.columns else F.lit(None).cast("string")).alias("previous_headsign"),
+        unique_id.alias("unique_id"),
+        *[
+            c
+            for c in enriched.columns
+            if c.startswith(("dep_", "arr_", "trip_", "route_"))
+            and c not in ("trip_id", "trip_start_dfm")
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 — GTFS duration parse
+# ---------------------------------------------------------------------------
+
+def dfm_seconds(c: Column) -> Column:
+    """'H:MM[:SS]' -> seconds from local midnight; hours may exceed 23;
+    seconds default 0 (lib/ConnectionsBuilder.js:64-70)."""
+    parts = F.split(c, ":")
+    h = F.element_at(parts, 1).cast("long")
+    m = F.element_at(parts, 2).cast("long")
+    s = F.coalesce(
+        F.when(F.size(parts) >= 3, F.element_at(parts, 3).cast("long")), F.lit(0)
+    )
+    return h * 3600 + m * 60 + s
+
+
+# ---------------------------------------------------------------------------
+# J6 + P6-P7 — service-day explode and timestamp build
+# ---------------------------------------------------------------------------
+
+def rules_to_connections(
+    rules: DataFrame,
+    services: DataFrame,
+    feed_tz: str = "Europe/Brussels",
+    dedupe: bool = True,
+    salt_n: int | None = DEFAULT_SALT_N,
+) -> DataFrame:
+    """rule × service-day -> connections with absolute timestamps.
+
+    Timestamps are *epoch arithmetic*: epoch(local midnight of the
+    service day in feed_tz) + dfm seconds — DST-correct, identical to
+    the reference's date-fns addHours/addMinutes/addSeconds over a
+    system-local Date (lib/ConnectionsBuilder.js:28-36,72-77; SURVEY
+    §1.5). Never wall-clock interval addition.
+
+    ``dedupe`` reproduces the history-store side effect that even a
+    fresh run emits each (uniqueId, serviceDate) once, first rule in
+    (trip_id, stop_sequence) order winning (st2c.js:134-181; SURVEY §7.4
+    risk 6).
+
+    ``salt_n`` adds a deterministic salt and repartitions the exploded
+    output so one mega-trip's connections spread over many reducers
+    (north_rule's skew-salted repartitioning on trip_id).
+    """
+    # J4 — service-dates lookup: left join + empty default (st2c.js:124);
+    # services is a tiny dimension -> broadcast, no fact-side shuffle
+    with_dates = (
+        rules.withColumn("service_id_key", F.col("trip_service_id"))
+        .join(
+            F.broadcast(services.withColumnRenamed("service_id", "service_id_key")),
+            ["feed_id", "service_id_key"],
+            "left",
+        )
+        .drop("service_id_key")
+    )
+    exploded = with_dates.withColumn(
+        "service_date",
+        F.explode(F.coalesce("dates", F.array().cast("array<string>"))),
+    ).drop("dates")
+
+    if dedupe:
+        w = Window.partitionBy("feed_id", "unique_id", "service_date").orderBy(
+            "trip_id", "stop_sequence_int"
+        )
+        exploded = exploded.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") == 1
+        ).drop("_rn")
+
+    # local midnight of service day in feed tz, as absolute instant
+    midnight = F.to_utc_timestamp(F.to_timestamp("service_date", "yyyyMMdd"), feed_tz)
+    midnight_epoch = F.unix_timestamp(midnight)
+
+    conns = (
+        exploded.withColumn(
+            "departure_ts",
+            F.timestamp_seconds(midnight_epoch + dfm_seconds(F.col("departure_dfm"))),
+        )
+        .withColumn(
+            "arrival_ts",
+            F.timestamp_seconds(midnight_epoch + dfm_seconds(F.col("arrival_dfm"))),
+        )
+        .withColumn(
+            "trip_start_ts",
+            F.timestamp_seconds(midnight_epoch + dfm_seconds(F.col("trip_start_dfm"))),
+        )
+    )
+
+    if salt_n:
+        conns = conns.withColumn(
+            "salt", F.pmod(F.xxhash64("feed_id", "unique_id", "service_date"), F.lit(salt_n))
+        ).repartition(F.col("feed_id"), F.col("trip_id"), F.col("salt"))
+
+    return conns
+
+
+def convert(
+    stop_times: DataFrame,
+    trips: DataFrame,
+    routes: DataFrame,
+    stops: DataFrame,
+    calendar: DataFrame,
+    calendar_dates: DataFrame,
+    feed_tz: str = "Europe/Brussels",
+    dedupe: bool = True,
+    salt_n: int | None = DEFAULT_SALT_N,
+) -> DataFrame:
+    """Full entity-tables -> connections pipeline (reference §3.1 steps
+    2-4 as one lazily-planned DAG)."""
+    services = expand_services(calendar, calendar_dates)
+    rules = stop_times_to_rules(stop_times, trips, routes, stops)
+    return rules_to_connections(rules, services, feed_tz, dedupe, salt_n)

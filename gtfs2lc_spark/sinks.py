@@ -1,0 +1,208 @@
+"""Output formats (reference §1.3): JSON-LD rows/lines, CSV rows,
+(subj, pred, obj) triples — the P/R comparison surface of BASELINE.json.
+
+All formatting is pure column expressions (ISO rendering, conditional
+predicates), so sinks add zero Python to the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import BOARDING_TYPES, GTFS, LC, RDF_TYPE, XSD
+from .uris import ConnectionColumns, URIStrategy
+
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+# reference: lib/gtfs2connections.js:317-332
+JSONLD_CONTEXT = {
+    "@context": {
+        "lc": LC,
+        "gtfs": GTFS,
+        "xsd": XSD,
+        "Connection": "lc:Connection",
+        "CancelledConnection": "lc:CancelledConnection",
+        "departureTime": {"@id": "lc:departureTime", "@type": "xsd:dateTime"},
+        "departureStop": {"@id": "lc:departureStop", "@type": "@id"},
+        "arrivalStop": {"@id": "lc:arrivalStop", "@type": "@id"},
+        "arrivalTime": {"@id": "lc:arrivalTime", "@type": "xsd:dateTime"},
+        "direction": {"@id": "gtfs:headsign", "@type": "xsd:string"},
+        "gtfs:trip": {"@type": "@id"},
+        "gtfs:route": {"@type": "@id"},
+        "gtfs:pickupType": {"@type": "@id"},
+        "gtfs:dropOffType": {"@type": "@id"},
+    }
+}
+
+
+def iso(c: Column) -> Column:
+    """Date.toISOString() — UTC with milliseconds (session tz is UTC)."""
+    return F.date_format(c, ISO_FMT)
+
+
+def _boarding(c: Column, short: bool) -> Column:
+    """numeric-string -> gtfs boarding type; emitted only when the raw
+    value is a non-empty string ('0' emits Regular, '' omits) —
+    lib/Connections2JSONLD.js:61-71, lib/Connections2Triples.js:81-98."""
+    vals = [t.replace(GTFS, "gtfs:") for t in BOARDING_TYPES] if short else BOARDING_TYPES
+    arr = F.array(*[F.lit(v) for v in vals])
+    return F.when(
+        F.coalesce(c, F.lit("")) != "", F.element_at(arr, c.cast("int") + 1)
+    )
+
+
+def connections_to_jsonld(
+    conns: DataFrame, uris: URIStrategy | None = None
+) -> DataFrame:
+    """Connections -> JSON-LD-shaped columns (lib/Connections2JSONLD.js:44-71).
+
+    Column names use ``gtfs_``-prefixed aliases (``@``/``:`` are hostile
+    to SQL engines); ``jsonld_lines`` re-keys them to the exact JSON-LD
+    keys when serializing.
+    """
+    uris = uris or URIStrategy(cc=ConnectionColumns())
+    cc = uris.cc
+    return conns.select(
+        "feed_id",
+        uris.connection_id().alias("id"),
+        F.lit("Connection").alias("type"),
+        uris.stop_id(cc.dep_stop_prefix).alias("departureStop"),
+        uris.stop_id(cc.arr_stop_prefix).alias("arrivalStop"),
+        iso(F.col(cc.departure_ts)).alias("departureTime"),
+        iso(F.col(cc.arrival_ts)).alias("arrivalTime"),
+        uris.trip_id().alias("gtfs_trip"),
+        uris.route_id().alias("gtfs_route"),
+        F.col("headsign").alias("direction"),
+        _boarding(F.col("pickup_type"), short=True).alias("gtfs_pickupType"),
+        _boarding(F.col("drop_off_type"), short=True).alias("gtfs_dropOffType"),
+        F.col(cc.departure_ts).alias("departure_ts"),
+        F.col(cc.arrival_ts).alias("arrival_ts"),
+    )
+
+
+def jsonld_lines(jsonld: DataFrame) -> DataFrame:
+    """One JSON text line per connection, exact reference key set/order.
+
+    to_json omits null fields, matching the reference's conditional
+    direction/pickupType/dropOffType keys.
+    """
+    obj = F.struct(
+        F.col("id").alias("@id"),
+        F.col("type").alias("@type"),
+        "departureStop",
+        "arrivalStop",
+        "departureTime",
+        "arrivalTime",
+        F.col("gtfs_trip").alias("gtfs:trip"),
+        F.col("gtfs_route").alias("gtfs:route"),
+        "direction",
+        F.col("gtfs_pickupType").alias("gtfs:pickupType"),
+        F.col("gtfs_dropOffType").alias("gtfs:dropOffType"),
+    )
+    return jsonld.select(F.to_json(obj).alias("line"))
+
+
+def connections_to_csv_rows(conns: DataFrame) -> DataFrame:
+    """7-column quoted CSV rows (lib/Connections2CSV.js:12-42); header is
+    written driver-side by the caller (worker-0 semantics, O5)."""
+
+    def cell(c: Column) -> Column:
+        return F.concat(
+            F.lit('"'),
+            F.replace(F.coalesce(c, F.lit("")), F.lit('"'), F.lit('""')),
+            F.lit('"'),
+        )
+
+    cells = [
+        cell(F.col("dep_stop_id")),
+        cell(iso(F.col("departure_ts"))),
+        cell(F.col("arr_stop_id")),
+        cell(iso(F.col("arrival_ts"))),
+        cell(F.col("trip_trip_id")),
+        cell(F.col("route_route_id")),
+        cell(F.coalesce(F.col("headsign"), F.lit(""))),
+    ]
+    return conns.select(F.concat_ws(",", *cells).alias("line"))
+
+
+CSV_HEADER = '"departureStop","departureTime","arrivalStop","arrivalTime","trip","route","headsign"'
+
+
+def connections_to_triples(
+    conns: DataFrame, uris: URIStrategy | None = None
+) -> DataFrame:
+    """Connections -> (subj, pred, obj, obj_kind, obj_datatype) rows
+    (lib/Connections2Triples.js:28-107).
+
+    7 fixed triples per connection + conditional headsign/pickup/dropOff.
+    Implemented as a per-row literal array + explode: a narrow map-side
+    op, no shuffle; the 10x row multiply stays partition-local.
+    """
+    uris = uris or URIStrategy(cc=ConnectionColumns())
+    cc = uris.cc
+    subj = uris.connection_id()
+
+    def t(pred: str, obj: Column, kind: str, dt: str | None = None) -> Column:
+        return F.struct(
+            obj.alias("obj"),
+            F.lit(pred).alias("pred"),
+            F.lit(kind).alias("obj_kind"),
+            F.lit(dt).cast("string").alias("obj_datatype"),
+        )
+
+    # triples headsign falls back to trip_headsign even when the chained
+    # headsign is null (lib/Connections2Triples.js:71-80)
+    headsign = F.coalesce(
+        F.col("headsign"), F.nullif(F.col("trip_trip_headsign"), F.lit(""))
+    )
+
+    quads = F.array(
+        t(RDF_TYPE, F.lit(f"{LC}Connection"), "iri"),
+        t(f"{LC}departureStop", uris.stop_id(cc.dep_stop_prefix), "iri"),
+        t(f"{LC}arrivalStop", uris.stop_id(cc.arr_stop_prefix), "iri"),
+        t(f"{LC}departureTime", iso(F.col(cc.departure_ts)), "literal", f"{XSD}dateTime"),
+        t(f"{LC}arrivalTime", iso(F.col(cc.arrival_ts)), "literal", f"{XSD}dateTime"),
+        t(f"{GTFS}trip", uris.trip_id(), "iri"),
+        t(f"{GTFS}route", uris.route_id(), "iri"),
+        t(f"{GTFS}headsign", headsign, "literal", f"{XSD}string"),
+        t(f"{GTFS}dropOffType", _boarding(F.col("drop_off_type"), short=False), "iri"),
+        t(f"{GTFS}pickupType", _boarding(F.col("pickup_type"), short=False), "iri"),
+    )
+    return (
+        conns.select(subj.alias("subj"), F.explode(quads).alias("q"))
+        .where(F.col("q.obj").isNotNull())
+        .select(
+            "subj",
+            F.col("q.pred").alias("pred"),
+            F.col("q.obj").alias("obj"),
+            F.col("q.obj_kind").alias("obj_kind"),
+            F.col("q.obj_datatype").alias("obj_datatype"),
+        )
+    )
+
+
+def triples_to_ntriples_lines(triples: DataFrame) -> DataFrame:
+    """(subj,pred,obj) -> N-Triples text lines."""
+    obj = F.when(
+        F.col("obj_kind") == "iri", F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
+    ).otherwise(
+        F.concat(
+            F.lit('"'),
+            F.col("obj"),
+            F.lit('"'),
+            F.when(
+                F.col("obj_datatype").isNotNull(),
+                F.concat(F.lit("^^<"), F.col("obj_datatype"), F.lit(">")),
+            ).otherwise(F.lit("")),
+        )
+    )
+    return triples.select(
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("<"), F.col("subj"), F.lit(">")),
+            F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
+            obj,
+            F.lit("."),
+        ).alias("line")
+    )

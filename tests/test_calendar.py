@@ -1,0 +1,73 @@
+"""A1/A2/J5 — service-date expansion semantics
+(reference: lib/services/CalendarExpander.js, test fixture calendar)."""
+
+from pyspark.sql import functions as F
+
+from gtfs2lc_spark import pipeline
+from gtfs2lc_spark.schemas import _string_struct
+
+
+def _services(spark, feed):
+    return {
+        r.service_id: set(r.dates)
+        for r in pipeline.expand_services(feed["calendar"], feed["calendar_dates"]).collect()
+    }
+
+
+def test_expanded_sizes(spark, feed):
+    s = _services(spark, feed)
+    assert len(s["FULLW"]) == 180
+    assert len(s["WE"]) == 51
+    assert len(s["W"]) == 130
+
+
+def test_exceptions(spark, feed):
+    s = _services(spark, feed)
+    # exception_type=2 removes 20070604; added dates were already weekday-matched
+    assert "20070604" not in s["FULLW"]
+    assert {"20070605", "20070606", "20070607"} <= s["FULLW"]
+    # WE contains only Sat/Sun
+    assert "20070106" in s["WE"] and "20070105" not in s["WE"]
+
+
+def test_exception_only_service_flush(spark):
+    """Services with calendar_dates but no calendar keep their added days
+    (CalendarExpander.js:57-68); removed-only services expand to empty."""
+    cal = spark.createDataFrame(
+        [("S1", "1", "1", "1", "1", "1", "0", "0", "20070101", "20070107", "f", "u")],
+        _string_struct(
+            "service_id", "monday", "tuesday", "wednesday", "thursday", "friday",
+            "saturday", "sunday", "start_date", "end_date", "feed_id", "url",
+        ),
+    )
+    cd = spark.createDataFrame(
+        [
+            ("S2", "20070110", "1", "f", "u"),
+            ("S2", "20070111", "1", "f", "u"),
+            ("S3", "20070112", "2", "f", "u"),
+        ],
+        _string_struct("service_id", "date", "exception_type", "feed_id", "url"),
+    )
+    out = {r.service_id: sorted(r.dates) for r in pipeline.expand_services(cal, cd).collect()}
+    assert out["S2"] == ["20070110", "20070111"]
+    assert out["S3"] == []
+    # S1: Mon 20070101 .. Fri 20070105 (Sat/Sun excluded)
+    assert out["S1"] == ["20070101", "20070102", "20070103", "20070104", "20070105"]
+
+
+def test_added_date_also_removed_wins(spark):
+    """The expander inserts added dates unconditionally, before removal
+    filtering (CalendarExpander.js:24-36): added ∪ (weekday ∖ removed)."""
+    cal = spark.createDataFrame(
+        [("S", "1", "1", "1", "1", "1", "1", "1", "20070101", "20070102", "f", "u")],
+        _string_struct(
+            "service_id", "monday", "tuesday", "wednesday", "thursday", "friday",
+            "saturday", "sunday", "start_date", "end_date", "feed_id", "url",
+        ),
+    )
+    cd = spark.createDataFrame(
+        [("S", "20070101", "1"), ("S", "20070101", "2")],
+        _string_struct("service_id", "date", "exception_type"),
+    ).withColumn("feed_id", F.lit("f")).withColumn("url", F.lit("u"))
+    out = {r.service_id: sorted(r.dates) for r in pipeline.expand_services(cal, cd).collect()}
+    assert out["S"] == ["20070101", "20070102"]

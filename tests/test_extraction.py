@@ -1,0 +1,75 @@
+"""Layer A — GTFS detection/extraction from web pages.
+
+input_hint invariants: vectorized pandas UDF detection, pure function of
+``text``, byte-identical extracted content per url run-to-run."""
+
+from pyspark.sql import functions as F
+
+from gtfs2lc_spark import extraction, fixtures, pipeline
+
+
+def _pages(spark):
+    return fixtures.pages_df(spark, noise_pages=25, n_partitions=8)
+
+
+def test_detector_skips_noise(spark):
+    pages = _pages(spark)
+    detected = extraction.detect_pages(pages)
+    urls = {r.url for r in detected.select("url").collect()}
+    assert len(urls) == 6  # exactly one page per GTFS file
+    assert all("transit.example.org" in u for u in urls)
+
+
+def test_extracted_tables_match_direct_synthesis(spark, feed):
+    pages = _pages(spark)
+    entities = extraction.extract_entities(pages)
+    for name, direct in feed.items():
+        got = {tuple(r) for r in entities[name].collect()}
+        want = {tuple(r) for r in direct.collect()}
+        assert got == want, f"{name} mismatch"
+
+
+def test_byte_identical_per_url(spark):
+    """Extraction is deterministic: two runs yield identical bytes per url."""
+    pages = _pages(spark)
+
+    def snapshot():
+        return {
+            r.url: (r.gtfs_file, r.feed_id, r.header, r.body)
+            for r in extraction.detect_pages(pages).collect()
+        }
+
+    a, b = snapshot(), snapshot()
+    assert a == b
+    # and the body is byte-identical to the synthesized CSV payload
+    for fname, csv_text in fixtures.SAMPLE_FEED_CSV.items():
+        url = fixtures.page_url("samplefeed", fname)
+        header, _, body = csv_text.partition("\n")
+        assert a[url][2] == header
+        assert a[url][3] == body
+
+
+def test_pages_to_connections_end_to_end(spark):
+    """Full graft path: pages -> extraction -> pipeline -> 3,472 connections."""
+    pages = _pages(spark)
+    e = extraction.extract_entities(pages)
+    conns = pipeline.convert(
+        e["stop_times"], e["trips"], e["routes"], e["stops"],
+        e["calendar"], e["calendar_dates"], salt_n=8,
+    )
+    assert conns.count() == fixtures.SAMPLE_FEED_CONNECTIONS
+
+
+def test_multi_feed_scoping(spark):
+    """Two feeds extract independently; all joins are feed_id-scoped."""
+    pages = fixtures.pages_df(spark, n_feeds=2, noise_pages=5)
+    e = extraction.extract_entities(pages)
+    conns = pipeline.convert(
+        e["stop_times"], e["trips"], e["routes"], e["stops"],
+        e["calendar"], e["calendar_dates"], salt_n=8,
+    )
+    per_feed = {r.feed_id: r["count"] for r in conns.groupBy("feed_id").count().collect()}
+    assert per_feed == {
+        "samplefeed-0": fixtures.SAMPLE_FEED_CONNECTIONS,
+        "samplefeed-1": fixtures.SAMPLE_FEED_CONNECTIONS,
+    }
