@@ -17,7 +17,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gtfs2lc_spark import extraction, fixtures, oracle, pipeline, sinks
+from gtfs2lc_spark import extraction, fixtures, oracle, pipeline, postprocess, sinks
+from gtfs2lc_spark.datapipe import dedup, multimodal, similarity, text
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -199,6 +200,107 @@ def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gtfs_next_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/J9 base case: per-trip nextConnection via lead() over the
+    reference sort order (bin/linkedconnections-sort.js:137-171)."""
+    jl = sinks.connections_to_jsonld(_fixture_connections(spark))
+    w = Window.partitionBy("gtfs_trip").orderBy(
+        "departureTime", "arrivalTime", "gtfs_route", "departureStop", "arrivalStop", "id"
+    )
+    return jl.select(
+        "id", F.lead("id").over(w).alias("next_id"), "gtfs_trip"
+    )
+
+
+def _q_gtfs_join_and_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full J8+J9 post-processor (movement merge is sequential-stateful
+    -> no SQL oracle; driver records rows-only)."""
+    jl = sinks.connections_to_jsonld(_fixture_connections(spark)).drop(
+        "feed_id", "type", "departure_ts", "arrival_ts"
+    )
+    out = postprocess.join_and_sort(jl)
+    return out.select(
+        "id", "departureTime", "gtfs_trip",
+        F.concat_ws(
+            "|", F.coalesce("nextConnection", F.array().cast("array<string>"))
+        ).alias("next_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (documents + embeddings tables)
+# ---------------------------------------------------------------------------
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.quality_features(d).drop("text")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(text.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(d).where(F.col("hamming") <= 12)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return dedup.ngram_jaccard_pairs(d, group_col="source").where(F.col("jaccard") > 0)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return similarity.brute_force_topk(e, q, k=3)
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.where(F.col("vec_id") < 20)
+    return similarity.lsh_topk(e, q, dim=dim, k=3, n_planes=8)
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "embeddings")
+    # 0.15 on random embeddings yields a non-trivial pair set — a real
+    # value check, not an empty-vs-empty match (production near-dup
+    # would use ~0.95)
+    return similarity.embedding_near_duplicates(e, threshold=0.15)
+
+
+def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    return multimodal.blob_metadata(d, "blob").drop("blob")
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    out = multimodal.decode_image_features(d, "blob", fake=True)
+    return out.select("doc_id", F.round(F.element_at("features", 1), 6).alias("f0"),
+                      F.size("features").alias("dim"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gtfs_service_expansion": _q_gtfs_service_expansion,
@@ -212,7 +314,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_multikey_sort": _q_o2_multikey_sort,
         "dedup_exact": _q_dedup_exact,
         "text_token_count": _q_text_token_count,
+        "gtfs_next_connection": _q_gtfs_next_connection,
+        "gtfs_join_and_sort": _q_gtfs_join_and_sort,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "dedup_fingerprint": _q_dedup_fingerprint,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash_candidates": _q_simhash_candidates,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "multimodal_metadata": _q_multimodal_metadata,
+        "multimodal_features": _q_multimodal_features,
     }
+
+
+def _sw_list(code: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS[code]) + "]"
+
+
+def _sw_hits(code: str) -> str:
+    return (
+        f"len(list_filter(string_split_regex(lower(text), '[^a-z]+'),"
+        f" t -> list_contains({_sw_list(code)}, t)))"
+    )
+
+
+_DUCK_COS = """
+ list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+ / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+    * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+"""
+
+_DUCK_SHINGLES = """
+list_distinct(list_transform(
+  range(1, greatest(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) - 2, 0) + 1),
+  i -> array_to_string(list_slice(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''), i, i + 2), ' ')))
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -275,4 +414,103 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars_measured
             FROM documents
         """,
+        "gtfs_next_connection": oracle.sql_next_connection(),
+        "text_quality": f"""
+            WITH f AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                length(text) AS n_chars_m,
+                {_sw_hits('en')} AS sw,
+                length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_tokens, n_chars_m,
+                CASE WHEN n_tokens > 0 THEN CAST(n_chars_m AS DOUBLE)/n_tokens ELSE CAST(0 AS DOUBLE) END AS mean_wl,
+                CASE WHEN n_tokens > 0 THEN CAST(sw AS DOUBLE)/n_tokens ELSE CAST(0 AS DOUBLE) END AS swr,
+                CASE WHEN n_chars_m > 0 THEN CAST(punct AS DOUBLE)/n_chars_m ELSE CAST(0 AS DOUBLE) END AS pr
+              FROM f
+            )
+            SELECT doc_id, n_tokens, n_chars_m,
+              round(mean_wl, 6) AS mean_word_len,
+              round(swr, 6) AS stopword_ratio,
+              round(pr, 6) AS punct_ratio,
+              (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+               + CASE WHEN mean_wl >= 3.0 AND mean_wl <= 12.0 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+               + CASE WHEN swr >= 0.05 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+               + CASE WHEN pr <= 0.2 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS quality_score
+            FROM r
+        """,
+        "lang_id": f"""
+            WITH h AS (
+              SELECT doc_id,
+                {_sw_hits('en')} AS h_en, {_sw_hits('de')} AS h_de,
+                {_sw_hits('fr')} AS h_fr, {_sw_hits('es')} AS h_es
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                   WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                   WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                   WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                   ELSE 'de' END AS lang_guess
+            FROM h
+        """,
+        "dedup_fingerprint": """
+            SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+                   MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id AS id, source AS grp, {_DUCK_SHINGLES} AS sh
+              FROM documents WHERE doc_id < 100
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+              round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                    THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh)))
+                    ELSE CAST(0 AS DOUBLE) END, 6) AS jaccard
+            FROM sh a JOIN sh b ON a.grp = b.grp AND a.id < b.id
+            WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                    THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh)))
+                    ELSE CAST(0 AS DOUBLE) END > 0
+        """,
+        "ann_topk": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) AS cosine
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 20
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        """,
+        "embedding_neardup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.15
+        """,
+        "multimodal_metadata": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS blob_bytes,
+                   sha256(text) AS blob_sha256,
+                   CASE WHEN starts_with(hex(encode(text)), '89504E47') THEN 'image/png'
+                        WHEN starts_with(hex(encode(text)), 'FFD8FF') THEN 'image/jpeg'
+                        WHEN starts_with(hex(encode(text)), '47494638') THEN 'image/gif'
+                        WHEN starts_with(hex(encode(text)), '52494646') THEN 'audio/wav'
+                        WHEN starts_with(hex(encode(text)), '494433') THEN 'audio/mp3'
+                        WHEN starts_with(hex(encode(text)), '1A45DFA3') THEN 'video/webm'
+                        ELSE 'application/octet-stream' END AS blob_mime
+            FROM documents
+        """,
+        # minhash_neardup / simhash_candidates / ann_lsh_topk /
+        # multimodal_features / gtfs_join_and_sort: engine-specific
+        # hashing (xxhash64) or stateful sequential semantics -> no SQL
+        # oracle; the driver records rows-only checks for these.
     }

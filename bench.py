@@ -52,13 +52,16 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # warm the JVM/codegen once on a single tiny feed
-    warm = fixtures.pages_df(spark, noise_pages=0)
-    e = extraction.extract_entities(warm)
+    # warm the JVM/codegen/JIT once on 2 feeds through the IDENTICAL plan
+    # shape as the measured run (same source, same stage boundaries)
+    warm = fixtures.pages_df_scaled(spark, 2, noise_pages=40, n_partitions=cpus * 2)
+    ew = extraction.extract_entities(warm)
     _force(
-        pipeline.convert(
-            e["stop_times"], e["trips"], e["routes"], e["stops"],
-            e["calendar"], e["calendar_dates"], salt_n=8,
+        sinks.connections_to_triples(
+            pipeline.convert(
+                ew["stop_times"], ew["trips"], ew["routes"], ew["stops"],
+                ew["calendar"], ew["calendar_dates"], salt_n=64,
+            )
         )
     )
 

@@ -1,0 +1,250 @@
+"""Deduplication operators for web-scale corpora.
+
+- exact: hash-groupBy on a canonical fingerprint (one shuffle on the
+  hash — the minimum possible).
+- MinHash + LSH: shingle -> 32-perm minhash signature -> banded LSH
+  bucketing -> candidate pairs -> exact Jaccard verification. Signature
+  computation is pure array expressions (codegen'd, no Python); only
+  candidate *pairs* ever shuffle, never the O(n^2) cross product.
+- SimHash: 64-bit sign-aggregated token hashes, Hamming-distance
+  candidates via band buckets.
+- n-gram Jaccard: exact pairwise similarity for a bounded candidate set.
+- embedding cosine near-dup: see similarity.py for the ANN machinery.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+_MERSENNE = 4294967311  # prime > 2^32
+_MAX_A = 1 << 30
+
+
+def minhash_params(num_perm: int = 32, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MAX_A), rng.randrange(0, _MAX_A)) for _ in range(num_perm)]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per normalized-text fingerprint."""
+    h = fingerprint(F.col(text_col)).alias("fp")
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        df.select("*", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as strings. (Spark's sequence(1, 0)
+    counts DOWN, so short docs need an explicit guard.)"""
+    toks = F.filter(tokens(text), lambda t: t != "")
+    n = F.size(toks)
+    shingled = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    return F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, num_perm: int = 32, seed: int = 42) -> Column:
+    """num_perm-wide minhash signature, fully JVM-side.
+
+    h32 = xxhash64(shingle) mod 2^32; sig_p = min((a_p*h32+b_p) mod P).
+    a_p < 2^30 keeps a*h below 2^62 — no long overflow. Empty shingle
+    sets get sentinel P (never collides with real minima).
+    """
+    params = minhash_params(num_perm, seed)
+    h32 = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    sig = [
+        F.coalesce(
+            F.array_min(
+                F.transform(h32, lambda h: F.pmod(a * h + b, F.lit(_MERSENNE)))
+            ),
+            F.lit(_MERSENNE),
+        )
+        for (a, b) in params
+    ]
+    return F.array(*sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b, band-deduped).
+
+    Plan shape: one narrow pass computes signatures; explode to
+    (band, band_hash) — bands x n rows; one shuffle groups buckets;
+    pairs come from a self-join *within buckets only*.
+    """
+    rows = num_perm // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_k), num_perm, seed)
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)])
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified with exact word-
+    shingle Jaccard >= threshold. Output (id_a, id_b, jaccard)."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_perm, bands, shingle_k)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    return (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "source",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs within a bounded group
+    (blocking column keeps the self-join from going O(n^2) global)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(group_col) if group_col else F.lit("all")).alias("grp"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.grp") == F.col("b.grp")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(text: Column, seed: int = 42) -> Column:
+    """64-bit SimHash over word tokens, pure array expressions.
+
+    bit_j(doc) = sign of sum over tokens of (+1 if bit j of
+    xxhash64(token) else -1). Computed as: for each bit j, count of
+    set bits minus half the token count.
+    """
+    toks = F.filter(tokens(text), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    n = F.size(hashes)
+    bits = [
+        (
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
+            )
+            * 2
+            > n
+        ).cast("long")
+        for j in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for j, bit in enumerate(bits):
+        out = out + F.shiftleft(bit, j)
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidates: docs sharing any 16-bit band of the
+    64-bit simhash (Hamming-distance blocking). Output pairs + hamming."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * band_bits).bitwiseAND(F.lit(mask)).alias("bh"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs

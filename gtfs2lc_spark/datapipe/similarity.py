@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exactness baseline. The query side is
+  small and broadcast; the corpus never shuffles; top-k per query via
+  window over the (queries x corpus) product restricted to the
+  broadcast join.
+- LSH-bucketed ANN (random hyperplanes): deterministic signed
+  projections -> bucket id -> candidates only within bucket (+ optional
+  multi-probe via allowing b-1 matching bands). The scale path: the
+  corpus is hashed once (narrow), bucketed (one shuffle), and probes
+  touch single buckets.
+
+All vector math is F.zip_with/F.aggregate on double arrays —
+JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (excluding self).
+
+    Output: (query_id, neighbor_id, cosine, rank). Ties broken by
+    neighbor id for determinism.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            # rank on the ROUNDED value: sub-ulp float differences between
+            # engines must not flip the ordering (oracle parity)
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature as a long bucket id (bit p = sign of
+    <vec, plane_p>). Planes are literal arrays -> constant-folded."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(w) for w in plane])
+        bit = (dot(vec, lit_plane) >= 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's LSH
+    bucket. Recall grows as n_planes shrinks (bigger buckets)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("bucket", lsh_bucket(F.col("cvec"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    ).withColumn("bucket", lsh_bucket(F.col("qvec"), planes))
+    scored = (
+        F.broadcast(q)
+        .join(c, on=["bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (id_a < id_b). Small-corpus
+    exact form; at scale, feed lsh bucket ids as a blocking key first."""
+    v = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,126 @@
+"""Text analysis operators: token counting, language id, quality
+scoring, fingerprinting. Pure JVM column expressions — they run inside
+whole-stage codegen, and every expression has an exact DuckDB
+equivalent so the driver's oracle can verify values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small, fixed stopword sets per language — enough signal for an n-gram
+# heuristic language id over web text; deterministic by construction
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+           "on", "are", "with", "as", "this", "be", "at", "have", "not", "by"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "eine",
+           "auf", "den", "von", "zu", "im", "sich", "des", "dem", "auch"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "qui", "une",
+           "pour", "pas", "sur", "par", "avec", "au", "ce", "il"],
+    "es": ["el", "la", "los", "las", "y", "que", "de", "en", "un", "una",
+           "por", "con", "para", "es", "del", "se", "no", "al"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alpha tokens. Mirror: DuckDB
+    ``string_split_regex(lower(x), '[^a-z]+')``."""
+    return F.split(F.lower(text), "[^a-z]+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for blank)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: word pieces + digits + punctuation
+    as separate tokens (a BPE-shaped regex, not a trained BPE)."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]{1,8}|[0-9]|[^a-z0-9\s]"), F.lit(0)
+    )
+    return F.size(pieces).cast("long")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Non-distinct count of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language id: argmax stopword-hit count across known
+    languages; ties broken by language code order; zero hits -> 'und'."""
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(text, code).alias("hits"),
+                # invert code ordering so greatest() prefers the earlier
+                # code on ties (struct compare is field-order lexicographic)
+                F.lit(code).alias("code"),
+            )
+            for code in sorted(STOPWORDS, reverse=True)
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.!?,;:]", "")).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + a composite [0,1] score.
+
+    Heuristics in the spirit of web-corpus quality filters (C4-style):
+    reasonable length, low punctuation density, healthy stopword ratio,
+    sane mean word length.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t).cast("long")
+    sw = stopword_hits(t, "en")
+    punct = punct_count(t)
+    mean_wl = F.when(n_tok > 0, (n_chars.cast("double") / n_tok.cast("double"))).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tok > 0, sw.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(sw_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars_m"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (exact dedup key robust to formatting)."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def rolling_fingerprints(text: Column, window: int = 16, keep_mod: int = 8) -> Column:
+    """Winnowing-style selective shingle fingerprints: hash every
+    ``window``-char shingle, keep those ≡0 mod ``keep_mod`` — a compact
+    sketch for containment detection. Pure array expressions."""
+    n = F.length(text)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n - window + 1),
+        lambda i: F.xxhash64(text.substr(i, F.lit(window))),
+    )
+    selected = F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
+    # sequence(1, x) counts down when x < 1 — guard short texts
+    return F.when(n >= window, selected).otherwise(F.array().cast("array<bigint>"))

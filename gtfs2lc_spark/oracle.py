@@ -211,6 +211,31 @@ FROM g_connections"""
     )
 
 
+def sql_next_connection() -> str:
+    """W3/J9 base case: lead() per trip over the reference sort order."""
+    start_date = _local_yyyymmdd("start_epoch")
+    return (
+        gtfs_prelude()
+        + f""",
+g_ids AS (
+  SELECT
+    'http://example.org/connections/' || {start_date} || '/' || dep_stop_id || '/' || trip_id AS id,
+    {_iso("dep_epoch")} AS departureTime,
+    {_iso("arr_epoch")} AS arrivalTime,
+    'http://example.org/trips/' || trip_id || '/' || {start_date} AS gtfs_trip,
+    'http://example.org/routes/' || (SELECT t.route_id FROM g_trips t WHERE t.trip_id = g_connections.trip_id) AS gtfs_route,
+    'http://example.org/stops/' || dep_stop_id AS departureStop,
+    'http://example.org/stops/' || arr_stop_id AS arrivalStop
+  FROM g_connections
+)
+SELECT id,
+       lead(id) OVER (PARTITION BY gtfs_trip
+                      ORDER BY departureTime, arrivalTime, gtfs_route, departureStop, arrivalStop, id) AS next_id,
+       gtfs_trip
+FROM g_ids"""
+    )
+
+
 def sql_triples() -> str:
     """(subj, pred, obj) explosion of the full connection set —
     the P/R comparison surface (lib/Connections2Triples.js:31-99)."""

@@ -72,28 +72,26 @@ def expand_services(calendar: DataFrame, calendar_dates: DataFrame) -> DataFrame
         ).alias("removed"),
     )
 
-    # A2 — enumerate [start_date, end_date], keep days whose weekday flag is '1'
-    day = F.explode(
-        F.sequence(
-            F.to_date("start_date", "yyyyMMdd"),
-            F.to_date("end_date", "yyyyMMdd"),
-            F.expr("interval 1 day"),
-        )
-    ).alias("day")
+    # A2 — enumerate [start_date, end_date], keep days whose weekday flag
+    # is '1'. Pure array expressions (sequence + filter + transform): the
+    # whole expansion is map-side — no explode/groupBy shuffle at all.
     # dayofweek: 1=Sunday..7=Saturday
     flags = F.array(
         "sunday", "monday", "tuesday", "wednesday", "thursday", "friday", "saturday"
     )
-    weekday_days = (
-        calendar.select("feed_id", "service_id", F.col("start_date"), F.col("end_date"), flags.alias("flags"))
-        .select("feed_id", "service_id", "flags", day)
-        .where(F.element_at(F.col("flags"), F.dayofweek("day")) == "1")
-        .groupBy("feed_id", "service_id")
-        .agg(F.sort_array(F.collect_list(F.date_format("day", "yyyyMMdd"))).alias("weekday_days"))
+    days = F.sequence(
+        F.to_date("start_date", "yyyyMMdd"),
+        F.to_date("end_date", "yyyyMMdd"),
+        F.expr("interval 1 day"),
     )
-    # calendars with zero matching days must still exist for the full-outer
-    all_calendars = calendar.select("feed_id", "service_id").distinct()
-    weekday_days = all_calendars.join(weekday_days, ["feed_id", "service_id"], "left")
+    weekday_days = calendar.select(
+        "feed_id",
+        "service_id",
+        F.transform(
+            F.filter(days, lambda d: F.element_at(flags, F.dayofweek(d)) == "1"),
+            lambda d: F.date_format(d, "yyyyMMdd"),
+        ).alias("weekday_days"),
+    )
 
     # J5 — full outer: calendars consume exceptions; exception-only services
     # flush as add-only lists (CalendarExpander.js:57-68)
@@ -273,9 +271,19 @@ def rules_to_connections(
     (trip_id, stop_sequence) order winning (st2c.js:134-181; SURVEY §7.4
     risk 6).
 
-    ``salt_n`` adds a deterministic salt and repartitions the exploded
-    output so one mega-trip's connections spread over many reducers
-    (north_rule's skew-salted repartitioning on trip_id).
+    ``salt_n`` adds a deterministic salt and repartitions RULES (with an
+    explicit partition count) right before the explode. Placement is
+    load-bearing twice over:
+
+    - skew: a mega-trip's rules spread over salt_n buckets, so its
+      ~|serviceDates|x explosion lands on many tasks (north_rule's
+      skew-salted repartitioning on trip_id);
+    - AQE interaction: the rules shuffle is tiny in BYTES, so adaptive
+      coalescing would otherwise collapse it to one partition — and the
+      180x row multiplication downstream of it would run single-task.
+      An explicit numPartitions exchange is exempt from AQE coalescing.
+
+    Shuffle cost: rules only — the exploded connections never shuffle.
     """
     # J4 — service-dates lookup: left join + empty default (st2c.js:124);
     # services is a tiny dimension -> broadcast, no fact-side shuffle
@@ -288,18 +296,40 @@ def rules_to_connections(
         )
         .drop("service_id_key")
     )
+    empty = F.array().cast("array<string>")
+    if dedupe:
+        # J7 fresh-run semantics (st2c.js:134-181): a later rule with the
+        # same uniqueId emits only service dates not already emitted by
+        # earlier rules ("earlier" = (trip_id, stop_sequence) order, the
+        # cleaner's stream order). Running union of preceding rules'
+        # dates via a framed collect_list — done at RULE level, before
+        # the ~180x explode, so the dedupe shuffle moves rules, not
+        # connections.
+        w = (
+            Window.partitionBy("feed_id", "unique_id")
+            .orderBy("trip_id", "stop_sequence_int")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seen = F.flatten(F.collect_list("dates").over(w))
+        with_dates = with_dates.withColumn(
+            "dates",
+            F.array_except(F.coalesce("dates", empty), F.coalesce(seen, empty)),
+        )
+
+    if salt_n:
+        spark = rules.sparkSession
+        n_parts = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        )
+        with_dates = with_dates.withColumn(
+            "salt", F.pmod(F.xxhash64("feed_id", "unique_id"), F.lit(salt_n))
+        ).repartition(n_parts, F.col("feed_id"), F.col("trip_id"), F.col("salt"))
+
     exploded = with_dates.withColumn(
         "service_date",
-        F.explode(F.coalesce("dates", F.array().cast("array<string>"))),
+        F.explode(F.coalesce("dates", empty)),
     ).drop("dates")
-
-    if dedupe:
-        w = Window.partitionBy("feed_id", "unique_id", "service_date").orderBy(
-            "trip_id", "stop_sequence_int"
-        )
-        exploded = exploded.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") == 1
-        ).drop("_rn")
 
     # local midnight of service day in feed tz, as absolute instant
     midnight = F.to_utc_timestamp(F.to_timestamp("service_date", "yyyyMMdd"), feed_tz)
@@ -319,11 +349,6 @@ def rules_to_connections(
             F.timestamp_seconds(midnight_epoch + dfm_seconds(F.col("trip_start_dfm"))),
         )
     )
-
-    if salt_n:
-        conns = conns.withColumn(
-            "salt", F.pmod(F.xxhash64("feed_id", "unique_id", "service_date"), F.lit(salt_n))
-        ).repartition(F.col("feed_id"), F.col("trip_id"), F.col("salt"))
 
     return conns
 

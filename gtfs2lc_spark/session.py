@@ -38,6 +38,8 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # python workers cost ~1.5s CPU each to import pandas; reuse them
+        .config("spark.python.worker.reuse", "true")
         # dimension tables (stops/routes/trips/services) are always small
         # relative to stop_times/pages; raise the broadcast ceiling a bit.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

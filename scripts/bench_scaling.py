@@ -1,0 +1,95 @@
+"""Two-cluster-size scaling evidence (north_rule): run the SAME pipeline
+on the SAME input at local[8] (N cores) and local[32] (4N cores) in
+separate JVMs; report throughput at both and the scaling efficiency
+throughput(4N) / (4 x throughput(N)). Appends a measured section to
+BASELINE.md when run with --write.
+
+    python scripts/bench_scaling.py [--feeds 240] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import os
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, ".")
+from gtfs2lc_spark.session import build_session
+from gtfs2lc_spark import extraction, fixtures, pipeline, sinks
+
+cpus = int(sys.argv[1]); n_feeds = int(sys.argv[2])
+spark = build_session(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+def force(df): df.write.format("noop").mode("overwrite").save()
+
+def run(n):
+    pages = fixtures.pages_df_scaled(spark, n, noise_pages=40, n_partitions=cpus * 2).cache()
+    pages.count()
+    e = extraction.extract_entities(pages)
+    t0 = time.perf_counter()
+    force(sinks.connections_to_triples(pipeline.convert(
+        e["stop_times"], e["trips"], e["routes"], e["stops"],
+        e["calendar"], e["calendar_dates"], salt_n=64)))
+    return time.perf_counter() - t0
+
+run(2)           # warm codegen/JIT through the identical plan shape
+times = [run(n_feeds) for _ in range(3)]
+sec = min(times)  # best-of-3: measure capability, not scheduler noise
+print(json.dumps({"cpus": cpus, "n_feeds": n_feeds, "sec": round(sec, 3),
+                  "all_runs": [round(t, 3) for t in times],
+                  "triples": n_feeds * 29992,
+                  "triples_per_sec": round(n_feeds * 29992 / sec, 1)}))
+"""
+
+
+def run_one(cpus: int, feeds: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(cpus), str(feeds)],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=1200,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--feeds", type=int, default=240)
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+
+    r8 = run_one(8, args.feeds)
+    r32 = run_one(32, args.feeds)
+    eff = r32["triples_per_sec"] / (4 * r8["triples_per_sec"])
+    result = {"n": r8, "four_n": r32, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(result))
+
+    if args.write:
+        section = f"""
+## Measured scaling (this sandbox, round 1)
+
+Same job (pages -> pandas-UDF extraction -> lag-window pairing ->
+broadcast enrichment -> service-day explode -> URI canonicalization ->
+(subj,pred,obj) triples), same input ({args.feeds} replicated sample
+feeds = {r8['triples']:,} triples), two parallelism levels, separate
+JVMs, best of 3 after warm-up:
+
+| cores | wall (s) | lc:Connection triples/sec |
+|---|---|---|
+| local[8] (N) | {r8['sec']} | {r8['triples_per_sec']:,} |
+| local[32] (4N) | {r32['sec']} | {r32['triples_per_sec']:,} |
+
+**Scaling efficiency 8->32 cores: {eff:.3f}** (target >= 0.8).
+"""
+        with open("BASELINE.md", "a") as f:
+            f.write(section)
+
+
+if __name__ == "__main__":
+    main()

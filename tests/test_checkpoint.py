@@ -1,0 +1,84 @@
+"""J7 — differential conversion + resumable checkpoints
+(reference: history.db, lib/stoptimes/st2c.js:134-181)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs2lc_spark import pipeline
+from gtfs2lc_spark.checkpoint import HistoryStore, convert_incremental
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return HistoryStore(spark, str(tmp_path / "history"))
+
+
+def _conns(spark, feed, **kw):
+    return pipeline.convert(
+        feed["stop_times"], feed["trips"], feed["routes"], feed["stops"],
+        feed["calendar"], feed["calendar_dates"], salt_n=None, **kw,
+    )
+
+
+def test_first_run_emits_all_then_nothing(spark, feed, store, connections):
+    delta1, snap1 = convert_incremental(connections, store)
+    emitted = spark.read.parquet(snap1.path)
+    assert emitted.count() == 3472
+    # identical second run: everything already in history -> empty delta
+    delta2, snap2 = convert_incremental(connections, store)
+    assert delta2.count() == 0
+    assert snap2.metrics["total_rows"] == 0
+
+
+def test_new_service_dates_emit_only_delta(spark, feed, store, connections):
+    convert_incremental(connections, store)
+    # extend FULLW by one extra day via calendar_dates
+    extra = spark.createDataFrame(
+        [("FULLW", "20070701", "1", "samplefeed",
+          "https://transit.example.org/feeds/samplefeed/calendar_dates.txt")],
+        feed["calendar_dates"].schema,
+    )
+    cd2 = feed["calendar_dates"].unionByName(extra)
+    conns2 = pipeline.convert(
+        feed["stop_times"], feed["trips"], feed["routes"], feed["stops"],
+        feed["calendar"], cd2, salt_n=None,
+    )
+    delta, snap = convert_incremental(conns2, store)
+    rows = delta.select("trip_id", "service_date").collect()
+    assert {r.service_date for r in rows} == {"20070701"}
+    # FULLW trips: AB1 AB2 BFC1 BFC2 STBA (1 pair) + CITY1 CITY2 (4 pairs)
+    assert len(rows) == 5 + 8
+
+
+def test_fresh_resets(spark, connections, store):
+    convert_incremental(connections, store)
+    delta, _ = convert_incremental(connections, store, fresh=True)
+    assert delta.count() == 3472
+
+
+def test_metrics_lineage(spark, connections, store):
+    _, snap = convert_incremental(connections, store)
+    with open(os.path.join(snap.path, "_metrics.json")) as f:
+        m = json.load(f)
+    assert m["total_rows"] == 3472
+    assert sum(p["rows"] for p in m["partitions"]) == 3472
+    for p in m["partitions"]:
+        assert p["min_key"] <= p["max_key"]
+
+
+def test_kill_and_resume(spark, connections, store, tmp_path):
+    """A snapshot dir without its _metrics.json commit marker is ignored:
+    a killed run never corrupts history, and the resumed run re-emits
+    exactly what the killed run failed to commit."""
+    delta1, snap1 = convert_incremental(connections, store)
+    # simulate a crash after data write but before commit marker
+    os.remove(os.path.join(snap1.path, "_metrics.json"))
+    assert store.snapshots() == []
+    delta2, snap2 = convert_incremental(connections, store)
+    assert spark.read.parquet(snap2.path).count() == 3472
+    # and a third run on top emits nothing
+    delta3, _ = convert_incremental(connections, store)
+    assert delta3.count() == 0

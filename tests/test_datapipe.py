@@ -1,0 +1,167 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs2lc_spark.datapipe import dedup, multimodal, similarity, text
+from gtfs2lc_spark.schemas import _string_struct
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat and runs away fast", "en"),  # near dup
+        (4, "der hund und die katze sind nicht auf der wiese mit dem ball", "de"),
+        (5, "le chat et le chien sont dans la maison avec les enfants", "fr"),
+        (6, "completely different text about spark dataframes and shuffles here", "en"),
+        (7, "", "und"),
+        (8, "   the   Quick   BROWN fox! ", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs)
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 in ids and 2 not in ids  # doc 2 is an exact dup of 1
+    assert {3, 4, 5, 6, 7, 8} <= ids
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("  A   b C ",)], "text string"
+    ).select(text.fingerprint(F.col("text")).alias("fp"))
+    fps = [r.fp for r in df.collect()]
+    assert fps[0] == fps[1]
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # identical
+    assert (1, 3) in got or (2, 3) in got  # one-word-changed near dup
+
+
+def test_minhash_jaccard_exactness(docs):
+    """Verified jaccard equals a hand-computed shingle jaccard."""
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.minhash_near_duplicates(docs, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # doc1 vs doc3: 13 tokens, 11 shingles each; one word changed at
+    # position 8 affects shingles 6,7,8 -> 8 common / 14 union
+    assert math.isclose(pairs[(1, 3)], 8 / 14, rel_tol=1e-6)
+
+
+def test_simhash_near_for_near_texts(docs):
+    sh = docs.select("doc_id", dedup.simhash64(F.col("text")).alias("sh")).collect()
+    m = {r.doc_id: r.sh for r in sh}
+    assert m[1] == m[2]
+    ham13 = bin((m[1] ^ m[3]) & ((1 << 64) - 1)).count("1")
+    ham16 = bin((m[1] ^ m[6]) & ((1 << 64) - 1)).count("1")
+    assert ham13 < ham16  # near-dup closer than unrelated text
+
+
+def test_simhash_candidates(docs):
+    cands = dedup.simhash_candidates(docs, band_bits=16)
+    got = {(r.id_a, r.id_b): r.hamming for r in cands.collect()}
+    assert got.get((1, 2)) == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    d = docs.withColumn("source", F.lit("s"))
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(d).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0 < pairs[(1, 3)] < 1
+
+
+def test_lang_id(docs):
+    out = {r.doc_id: r.g for r in docs.select("doc_id", text.lang_id(F.col("text")).alias("g")).collect()}
+    assert out[1] == "en" and out[4] == "de" and out[5] == "fr"
+    assert out[7] == "und"
+
+
+def test_quality_features(docs):
+    q = {r.doc_id: r for r in text.quality_features(docs).collect()}
+    assert q[1].quality_score >= 0.75  # healthy sentence
+    assert q[7].n_tokens == 0 and q[7].quality_score <= 0.25
+
+
+def test_token_counts(docs):
+    out = {r.doc_id: (r.n, r.b) for r in docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n"),
+        text.bpe_ish_token_count(F.col("text")).alias("b"),
+    ).collect()}
+    assert out[1][0] == 13
+    assert out[7][0] == 0
+    assert out[8][0] == 4  # whitespace collapsed
+    assert out[1][1] >= out[1][0]  # subword count >= word count
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import random
+
+    rng = random.Random(0)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+    # 100/101 near-identical to 0
+    base = rows[0][1]
+    rows.append((100, [x + 0.01 for x in base]))
+    rows.append((101, [x * 1.001 for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(vecs):
+    out = similarity.brute_force_topk(vecs, vecs.where(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert {rows[0].neighbor_id, rows[1].neighbor_id} == {100, 101}
+    assert rows[0].cosine > 0.999
+
+
+def test_lsh_topk_finds_near_identical(vecs):
+    out = similarity.lsh_topk(vecs, vecs.where(F.col("vec_id") == 0), dim=16, k=2, n_planes=6)
+    ids = {r.neighbor_id for r in out.collect()}
+    assert 100 in ids and 101 in ids  # same bucket guaranteed for near-identical
+
+
+def test_embedding_neardup(vecs):
+    out = similarity.embedding_near_duplicates(vecs, threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 100) in got and (0, 101) in got and (100, 101) in got
+
+
+def test_blob_metadata(spark):
+    rows = [
+        (1, b"\x89PNG\r\n rest"),
+        (2, b"\xff\xd8\xff\xe0 jpeg"),
+        (3, b"plain text bytes"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r.id: r for r in multimodal.blob_metadata(df, "blob").collect()}
+    assert out[1].blob_mime == "image/png"
+    assert out[2].blob_mime == "image/jpeg"
+    assert out[3].blob_mime == "application/octet-stream"
+    assert out[3].blob_bytes == 16
+
+
+def test_decode_image_features_fake_and_stub(spark):
+    df = spark.createDataFrame([(1, b"abc"), (2, b"abc"), (3, b"xyz")], "id long, blob binary")
+    out = multimodal.decode_image_features(df, "blob", fake=True).collect()
+    feats = {r.id: r.features for r in out}
+    assert feats[1] == feats[2] != feats[3]  # deterministic per content
+    assert len(feats[1]) == multimodal.FEATURE_DIM
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_features(df, "blob", fake=False)
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([(1, bytes(range(200)))], "id long, blob binary")
+    out = multimodal.sample_frames(df, "blob", every_n_bytes=64, max_frames=8).collect()
+    assert len(out) == 4  # floor(200/64)=3 -> frames 0..3
+    assert out[0].frame_bytes == bytes(range(64))

@@ -1,0 +1,74 @@
+"""J7 fresh-run dedup semantics (reference st2c.js:134-181; SURVEY §7.4
+risk 6): identical movements (same uniqueId — note uniqueId omits
+trip_id) emit each service date once, first rule in stream order wins;
+a later rule with extra dates emits only the new dates."""
+
+from pyspark.sql import functions as F
+
+from gtfs2lc_spark import pipeline
+from gtfs2lc_spark.schemas import _string_struct
+
+
+def _df(spark, cols, rows):
+    return spark.createDataFrame(rows, _string_struct(*cols, "feed_id", "url"))
+
+
+def test_twin_trip_dedup(spark):
+    f = lambda *r: (*r, "f", "u")  # noqa: E731
+    stop_times = _df(
+        spark,
+        ["trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence",
+         "stop_headsign", "pickup_type", "drop_off_type", "shape_dist_traveled"],
+        [
+            f("T1", "8:00:00", "8:00:00", "S1", "1", "", "", "", ""),
+            f("T1", "9:00:00", "9:00:00", "S2", "2", "", "", "", ""),
+            # twin trip: identical movement -> identical uniqueId
+            f("T2", "8:00:00", "8:00:00", "S1", "1", "", "", "", ""),
+            f("T2", "9:00:00", "9:00:00", "S2", "2", "", "", "", ""),
+        ],
+    )
+    trips = _df(
+        spark,
+        ["route_id", "service_id", "trip_id", "trip_headsign", "direction_id",
+         "block_id", "shape_id"],
+        [f("R", "SVC_A", "T1", "", "", "", ""), f("R", "SVC_B", "T2", "", "", "", "")],
+    )
+    routes = _df(
+        spark,
+        ["route_id", "agency_id", "route_short_name", "route_long_name", "route_desc",
+         "route_type", "route_url", "route_color", "route_text_color"],
+        [f("R", "A", "1", "Long Name", "", "3", "", "", "")],
+    )
+    stops = _df(
+        spark,
+        ["stop_id", "stop_name", "stop_desc", "stop_lat", "stop_lon", "zone_id", "stop_url"],
+        [f("S1", "", "", "", "", "", ""), f("S2", "", "", "", "", "", "")],
+    )
+    # SVC_A: mon+tue of one week; SVC_B: tue+wed (overlap tue)
+    calendar = _df(
+        spark,
+        ["service_id", "monday", "tuesday", "wednesday", "thursday", "friday",
+         "saturday", "sunday", "start_date", "end_date"],
+        [
+            f("SVC_A", "1", "1", "0", "0", "0", "0", "0", "20070101", "20070107"),
+            f("SVC_B", "0", "1", "1", "0", "0", "0", "0", "20070101", "20070107"),
+        ],
+    )
+    calendar_dates = _df(spark, ["service_id", "date", "exception_type"], [])
+
+    conns = pipeline.convert(
+        stop_times, trips, routes, stops, calendar, calendar_dates,
+        dedupe=True, salt_n=None,
+    )
+    rows = conns.select("trip_id", "service_date").collect()
+    got = {(r.trip_id, r.service_date) for r in rows}
+    # T1 (first in stream order) keeps mon(0101)+tue(0102);
+    # T2 emits only its new date wed(0103) — tue deduped away.
+    assert got == {("T1", "20070101"), ("T1", "20070102"), ("T2", "20070103")}
+
+    # without dedupe both trips emit everything
+    conns2 = pipeline.convert(
+        stop_times, trips, routes, stops, calendar, calendar_dates,
+        dedupe=False, salt_n=None,
+    )
+    assert conns2.count() == 4

@@ -1,0 +1,94 @@
+"""J8/J9 — join & sort post-processor vs the reference's
+splittingAndJoiningTrips tests (/root/reference/test/
+splittingAndJoiningTrips.test.js:18-64, current-code semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs2lc_spark import postprocess
+
+
+@pytest.fixture(scope="module")
+def processed(spark, jsonld):
+    base = jsonld.drop("feed_id", "type", "departure_ts", "arrival_ts")
+    return postprocess.join_and_sort(base).cache()
+
+
+def test_joined_trips_collapse(processed):
+    """On one service day the shared D->E segment of the joining trips
+    yields exactly ONE connection (test.js:18-42)."""
+    d_departures = processed.where(
+        (F.col("departureStop") == "http://example.org/stops/D")
+        & F.col("departureTime").startswith("2007-02-17")
+    ).collect()
+    assert len(d_departures) == 1
+    row = d_departures[0]
+    assert "joining_trip_1" in row.gtfs_trip  # absorber keeps its identity
+
+
+def test_merged_connection_count(processed, jsonld):
+    """Joining trips share C->D and D->E on every WE day (51 days);
+    splitting trips share Y->C on every W day (130 days)."""
+    assert processed.count() == jsonld.count() - 2 * 51 - 130
+
+
+def test_non_joining_splitting_trip_survives(processed):
+    """Exact @id survives the merge (test.js:44-53)."""
+    hit = processed.where(
+        F.col("id")
+        == "http://example.org/connections/20070216/C/non_joining_splitting_trip_3"
+    ).collect()
+    assert len(hit) == 1
+
+
+def test_split_branch_links(processed):
+    """The merged Y->C connection of the splitting trips links to BOTH
+    continuations: trip_3's C->D and trip_4's C->BULLFROG."""
+    row = processed.where(
+        F.col("id")
+        == "http://example.org/connections/20070216/Y/non_joining_splitting_trip_3"
+    ).first()
+    assert row is not None
+    nxt = set(row.nextConnection or [])
+    assert (
+        "http://example.org/connections/20070216/C/non_joining_splitting_trip_3" in nxt
+    )
+    assert (
+        "http://example.org/connections/20070216/C/non_joining_splitting_trip_4" in nxt
+    )
+    assert len(nxt) == 2
+
+
+def test_joined_trip_inherits_next(processed):
+    """trip_2's last surviving connection (Y->C) chains into the merged
+    trip_1 connection at the join point (sort.js:157-163)."""
+    row = processed.where(
+        F.col("id") == "http://example.org/connections/20070217/Y/joining_trip_2"
+    ).first()
+    assert row is not None
+    assert row.nextConnection == [
+        "http://example.org/connections/20070217/C/joining_trip_1"
+    ]
+
+
+def test_per_trip_chain(processed):
+    """Plain per-trip nextConnection chain: CITY1 connections on one day
+    chain 4 -> 3 -> 2 -> 1 -> none."""
+    day = processed.where(
+        F.col("gtfs_trip").contains("/CITY1/")
+        & F.col("departureTime").startswith("2007-01-02")
+    ).orderBy("departureTime").collect()
+    assert len(day) == 4
+    for cur, nxt in zip(day, day[1:]):
+        assert cur.nextConnection == [nxt.id]
+    assert day[-1].nextConnection is None
+
+
+def test_ascending_order(processed):
+    """O2: output ascending by (departureTime, arrivalTime, route,
+    depStop, arrStop, id), missing -> '' (sort.js:24-43)."""
+    rows = processed.limit(2000).collect()
+    keys = [
+        tuple((getattr(r, k) or "") for k in postprocess.SORT_KEYS) for r in rows
+    ]
+    assert keys == sorted(keys)
