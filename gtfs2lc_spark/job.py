@@ -1,0 +1,143 @@
+"""spark-submit entrypoint: pages table -> Linked Connections outputs.
+
+CLI parity with the reference's ``gtfs2lc`` command (bin/gtfs2lc.js):
+format selection, custom base URIs, fresh vs incremental conversion —
+re-expressed for a cluster:
+
+    spark-submit --py-files gtfs2lc_spark.zip -m gtfs2lc_spark.job \\
+        --pages /path/to/pages_parquet \\
+        --output /path/out --format jsonld \\
+        --base-uris baseUris.json --history /path/history [--fresh] \\
+        [--join-and-sort] [--feed-tz Europe/Brussels] [--salt 64]
+
+With ``--synthesize-feeds N`` (no --pages) the job generates the
+deterministic fixture pages table — the sandbox path; on a real
+cluster --pages points at the Iceberg/parquet pages table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+
+# absolute imports: spark-submit executes this file as a top-level
+# script (no package parent), with the package zip on --py-files
+from gtfs2lc_spark import fixtures, pipeline, postprocess, sinks
+from gtfs2lc_spark.checkpoint import HistoryStore, convert_incremental
+from gtfs2lc_spark.extraction import extract_entities
+from gtfs2lc_spark.session import build_session
+from gtfs2lc_spark.uris import URIStrategy
+
+FORMATS = ("json", "jsonld", "csv", "ntriples", "triples-parquet")
+
+
+def build_outputs(
+    conns: DataFrame,
+    fmt: str,
+    base_uris: dict | None,
+    join_and_sort: bool,
+) -> DataFrame:
+    uris = URIStrategy(base_uris)
+    if fmt == "csv":
+        return sinks.connections_to_csv_rows(conns)
+    jsonld = sinks.connections_to_jsonld(conns, uris)
+    if join_and_sort:
+        jsonld = postprocess.join_and_sort(
+            jsonld.drop("feed_id", "type", "departure_ts", "arrival_ts")
+        )
+    if fmt in ("json", "jsonld"):
+        return sinks.jsonld_lines(jsonld)
+    triples = sinks.connections_to_triples(conns, uris)
+    if fmt == "ntriples":
+        return sinks.triples_to_ntriples_lines(triples)
+    return triples  # triples-parquet
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", help="path to pages parquet/Iceberg table")
+    ap.add_argument("--synthesize-feeds", type=int, default=0)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--format", default="jsonld", choices=FORMATS)
+    ap.add_argument("--base-uris", help="baseUris JSON file (URIStrategy config)")
+    ap.add_argument("--feed-scoped-uris", action="store_true",
+                    help="namespace default URIs by feed_id (multi-feed corpora)")
+    ap.add_argument("--history", help="history store path for incremental runs")
+    ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--join-and-sort", action="store_true")
+    ap.add_argument("--feed-tz", default="Europe/Brussels")
+    ap.add_argument("--salt", type=int, default=pipeline.DEFAULT_SALT_N)
+    ap.add_argument("--compressed", action="store_true",
+                    help="gzip text output (S6, reference --compressed)")
+    ap.add_argument("--single-file", action="store_true",
+                    help="coalesce(1) merge like the reference's worker-merge (S7)")
+    args = ap.parse_args(argv)
+
+    spark = build_session(app_name="gtfs2lc-spark-job")
+    t0 = time.time()
+
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+    elif args.synthesize_feeds:
+        pages = fixtures.pages_df_scaled(spark, args.synthesize_feeds, noise_pages=40)
+    else:
+        ap.error("need --pages or --synthesize-feeds")
+
+    e = extract_entities(pages)
+    conns = pipeline.convert(
+        e["stop_times"], e["trips"], e["routes"], e["stops"],
+        e["calendar"], e["calendar_dates"],
+        feed_tz=args.feed_tz, salt_n=args.salt or None,
+    )
+
+    snap = None
+    if args.history:
+        store = HistoryStore(spark, args.history)
+        conns, snap = convert_incremental(
+            conns, store, fresh=args.fresh,
+            run_info={"format": args.format, "output": args.output},
+        )
+
+    base_uris = None
+    if args.base_uris:
+        with open(args.base_uris) as f:
+            base_uris = json.load(f)
+    elif args.feed_scoped_uris:
+        from gtfs2lc_spark.uris import FEED_SCOPED_BASE_URIS
+
+        base_uris = FEED_SCOPED_BASE_URIS
+
+    out = build_outputs(conns, args.format, base_uris, args.join_and_sort)
+    if args.single_file:
+        out = out.coalesce(1)
+    writer = out.write.mode("overwrite")
+    if args.format == "triples-parquet":
+        writer.parquet(args.output)
+    else:
+        if args.compressed:
+            writer = writer.option("compression", "gzip")
+        writer.text(args.output)
+        if args.format == "csv":
+            # O5: header emitted once, driver-side (reference: only
+            # worker 0 streams the header, lib/Connections2CSV.js:12-17)
+            with open(f"{args.output}/_header.csv", "w") as f:
+                f.write(sinks.CSV_HEADER + "\n")
+
+    # reference logs "<file> created in <ms> ms" (lib/gtfs2connections.js:95-97)
+    msg = {
+        "output": args.output,
+        "format": args.format,
+        "elapsed_ms": int((time.time() - t0) * 1000),
+        "snapshot": snap.metrics if snap else None,
+    }
+    print(json.dumps(msg))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

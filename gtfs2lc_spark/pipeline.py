@@ -296,8 +296,17 @@ def rules_to_connections(
         )
         .drop("service_id_key")
     )
+    spark = rules.sparkSession
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
     empty = F.array().cast("array<string>")
     if dedupe:
+        # explicit-numPartitions exchange on the window keys: the rules
+        # shuffle is tiny in bytes, so AQE would coalesce it to one
+        # task — and this window feeds the 180x explode downstream
+        with_dates = with_dates.repartition(n_parts, "feed_id", "unique_id")
         # J7 fresh-run semantics (st2c.js:134-181): a later rule with the
         # same uniqueId emits only service dates not already emitted by
         # earlier rules ("earlier" = (trip_id, stop_sequence) order, the
@@ -317,11 +326,6 @@ def rules_to_connections(
         )
 
     if salt_n:
-        spark = rules.sparkSession
-        n_parts = max(
-            spark.sparkContext.defaultParallelism,
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-        )
         with_dates = with_dates.withColumn(
             "salt", F.pmod(F.xxhash64("feed_id", "unique_id"), F.lit(salt_n))
         ).repartition(n_parts, F.col("feed_id"), F.col("trip_id"), F.col("salt"))

@@ -7,7 +7,7 @@ predicates), so sinks add zero Python to the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import BOARDING_TYPES, GTFS, LC, RDF_TYPE, XSD
@@ -87,20 +87,63 @@ def jsonld_lines(jsonld: DataFrame) -> DataFrame:
     to_json omits null fields, matching the reference's conditional
     direction/pickupType/dropOffType keys.
     """
-    obj = F.struct(
+    fields = [
         F.col("id").alias("@id"),
-        F.col("type").alias("@type"),
-        "departureStop",
-        "arrivalStop",
-        "departureTime",
-        "arrivalTime",
+        (F.col("type") if "type" in jsonld.columns else F.lit("Connection")).alias("@type"),
+        F.col("departureStop"),
+        F.col("arrivalStop"),
+        F.col("departureTime"),
+        F.col("arrivalTime"),
         F.col("gtfs_trip").alias("gtfs:trip"),
         F.col("gtfs_route").alias("gtfs:route"),
-        "direction",
+        F.col("direction"),
         F.col("gtfs_pickupType").alias("gtfs:pickupType"),
         F.col("gtfs_dropOffType").alias("gtfs:dropOffType"),
+    ]
+    if "nextConnection" in jsonld.columns:
+        fields.append(F.col("nextConnection"))
+    return jsonld.select(F.to_json(F.struct(*fields)).alias("line"))
+
+
+def mongo_lines(jsonld: DataFrame) -> DataFrame:
+    """Mongo Extended JSON lines (S8, lib/Connections2Mongo.js:15-33):
+    '@id' -> '_id', timestamps wrapped as {"$date": iso}. Built on the
+    jsonld-shaped DataFrame; key order mirrors the reference's mutation
+    order (original keys first, _id appended last)."""
+    date = lambda c: F.struct(F.col(c).alias("$date"))  # noqa: E731
+    fields = [
+        (F.col("type") if "type" in jsonld.columns else F.lit("Connection")).alias("@type"),
+        F.col("departureStop"),
+        F.col("arrivalStop"),
+        date("departureTime").alias("departureTime"),
+        date("arrivalTime").alias("arrivalTime"),
+        F.col("gtfs_trip").alias("gtfs:trip"),
+        F.col("gtfs_route").alias("gtfs:route"),
+        F.col("direction"),
+        F.col("gtfs_pickupType").alias("gtfs:pickupType"),
+        F.col("gtfs_dropOffType").alias("gtfs:dropOffType"),
+        F.col("id").alias("_id"),
+    ]
+    return jsonld.select(F.to_json(F.struct(*fields)).alias("line"))
+
+
+def triples_with_message_counter(
+    conns: DataFrame, uris: URIStrategy | None = None
+) -> DataFrame:
+    """W4: RDF 1.2 message-log framing — every quad of one connection
+    shares a messageCounter ordinal (lib/Connections2Triples.js:22-26,
+    100-106; renumbering lib/gtfs2connections.js:199-223).
+
+    The counter is a TOTAL order over connections (the reference's
+    merged output order), so this is inherently a single-reducer
+    ordering op — use it only when producing a framed serialization,
+    never mid-pipeline."""
+    uris = uris or URIStrategy(cc=ConnectionColumns())
+    triples = connections_to_triples(conns, uris)
+    w = Window.orderBy("subj")
+    return triples.withColumn(
+        "message_counter", F.dense_rank().over(w).cast("long") - 1
     )
-    return jsonld.select(F.to_json(obj).alias("line"))
 
 
 def connections_to_csv_rows(conns: DataFrame) -> DataFrame:

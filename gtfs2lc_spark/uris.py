@@ -28,6 +28,16 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# multi-feed namespacing of the defaults: one corpus, many feeds ->
+# URIs must not collide across feeds ({feed} = lineage feed_id)
+FEED_SCOPED_BASE_URIS: dict = {
+    "stop": "http://example.org/{feed}/stops/{stops.stop_id}",
+    "route": "http://example.org/{feed}/routes/{routes.route_id}",
+    "trip": "http://example.org/{feed}/trips/{trips.trip_id}/{trips.startTime(yyyyMMdd)}",
+    "connection": "http://example.org/{feed}/connections/{trips.startTime(yyyyMMdd)}/{depStop}/{trips.trip_id}",
+    "resolve": {"depStop": "connection.departureStop.stop_id"},
+}
+
 # reference defaults: lib/URIStrategy.js:10-19
 DEFAULT_BASE_URIS: dict = {
     "stop": "http://example.org/stops/{stops.stop_id}",
@@ -177,9 +187,16 @@ def _ts_path_column(path: str, cc: ConnectionColumns) -> str | None:
 def _resolve_var(
     name: str, cc: ConnectionColumns, resolve: dict, stop_prefix: str | None
 ) -> Column:
-    """One template variable -> Column (lib/URIStrategy.js:74-123)."""
+    """One template variable -> Column (lib/URIStrategy.js:74-123).
+
+    Extension beyond the reference (which is single-feed per run):
+    ``{feed}`` resolves to the lineage feed_id column so multi-feed
+    corpora can namespace their URIs and avoid cross-feed collisions.
+    """
     if name in resolve:
         return compile_resolver(resolve[name], cc, stop_prefix)
+    if name == "feed":
+        return F.col("feed_id")
     source, _, attr = name.partition(".")
     # inline date patterns: {trips.startTime(yyyyMMdd)} etc.
     m = re.match(r"^(startTime|departureTime|arrivalTime)\((.*)\)$", attr)
