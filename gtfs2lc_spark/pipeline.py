@@ -93,18 +93,28 @@ def expand_services(calendar: DataFrame, calendar_dates: DataFrame) -> DataFrame
         ).alias("weekday_days"),
     )
 
-    # J5 — full outer: calendars consume exceptions; exception-only services
-    # flush as add-only lists (CalendarExpander.js:57-68)
+    # J5 — full-outer SEMANTICS without a full-outer JOIN: a full outer
+    # forces a sort-merge exchange on both sides, but both directions
+    # are broadcast-able separately: calendars LEFT-broadcast-join their
+    # exceptions, and exception-only services (the expander's _flush,
+    # CalendarExpander.js:57-68) come from a broadcast anti-join.
     empty = F.array().cast("array<string>")
-    joined = weekday_days.join(exceptions, ["feed_id", "service_id"], "full_outer")
-    return joined.select(
+    with_exc = weekday_days.join(
+        F.broadcast(exceptions), ["feed_id", "service_id"], "left"
+    ).select(
         "feed_id",
         "service_id",
         F.array_union(
             F.coalesce("added", empty),
-            F.array_except(F.coalesce("weekday_days", empty), F.coalesce("removed", empty)),
+            F.array_except(F.col("weekday_days"), F.coalesce("removed", empty)),
         ).alias("dates"),
     )
+    flush = exceptions.join(
+        F.broadcast(calendar.select("feed_id", "service_id").distinct()),
+        ["feed_id", "service_id"],
+        "left_anti",
+    ).select("feed_id", "service_id", F.col("added").alias("dates"))
+    return with_exc.unionByName(flush)
 
 
 # ---------------------------------------------------------------------------

