@@ -213,8 +213,9 @@ def _q_gtfs_next_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_gtfs_join_and_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full J8+J9 post-processor (movement merge is sequential-stateful
-    -> no SQL oracle; driver records rows-only)."""
+    """Full J8+J9 post-processor. Oracle: oracle.sql_join_and_sort()
+    replicates the sequential movement merge in SQL (exact for the
+    fixture's <=2-way movement groups) plus lead()/as-of linking."""
     jl = sinks.connections_to_jsonld(_fixture_connections(spark)).drop(
         "feed_id", "type", "departure_ts", "arrival_ts"
     )
@@ -415,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "gtfs_next_connection": oracle.sql_next_connection(),
+        "gtfs_join_and_sort": oracle.sql_join_and_sort(),
         "text_quality": f"""
             WITH f AS (
               SELECT doc_id,

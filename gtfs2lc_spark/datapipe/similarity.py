@@ -105,9 +105,15 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the query's LSH
-    bucket. Recall grows as n_planes shrinks (bigger buckets)."""
+    bucket(s). Recall grows with smaller n_planes (bigger buckets) and
+    with multi-probe: ``n_probes`` > 1 additionally searches the buckets
+    whose signature differs in one bit (nearest Hamming neighbors) — the
+    standard multi-probe LSH recall/cost dial. The corpus is hashed and
+    bucketed ONCE regardless of probe count; only the small broadcast
+    query side fans out."""
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -115,7 +121,16 @@ def lsh_topk(
     ).withColumn("bucket", lsh_bucket(F.col("cvec"), planes))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
-    ).withColumn("bucket", lsh_bucket(F.col("qvec"), planes))
+    ).withColumn("bucket0", lsh_bucket(F.col("qvec"), planes))
+    probe_offsets = [0] + [1 << b for b in range(min(max(n_probes - 1, 0), n_planes))]
+    q = q.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(*[F.col("bucket0").bitwiseXOR(F.lit(o)) for o in probe_offsets])
+            )
+        ),
+    ).drop("bucket0")
     scored = (
         F.broadcast(q)
         .join(c, on=["bucket"])

@@ -236,6 +236,118 @@ FROM g_ids"""
     )
 
 
+def sql_join_and_sort() -> str:
+    """J8+J9 post-processor oracle (bin/linkedconnections-sort.js).
+
+    The movement merge is sequential pairwise in the reference; this SQL
+    reproduces it exactly for movement groups of size <= 2 — which holds
+    for the sample feed (verified: every same-movement collision there
+    is one joining or splitting pair). The descending scan pairs
+    (prev=higher id, connection=lower id); mergeMovement's four branches
+    pick the keeper and the absorbed trip.
+    """
+    start_date = _local_yyyymmdd("start_epoch")
+    return (
+        gtfs_prelude()
+        + f""",
+g_ids AS (
+  SELECT
+    'http://example.org/connections/' || {start_date} || '/' || dep_stop_id || '/' || trip_id AS id,
+    {_iso("dep_epoch")} AS departureTime,
+    {_iso("arr_epoch")} AS arrivalTime,
+    'http://example.org/trips/' || trip_id || '/' || {start_date} AS gtfs_trip,
+    'http://example.org/routes/' || (SELECT t.route_id FROM g_trips t WHERE t.trip_id = g_connections.trip_id) AS gtfs_route,
+    'http://example.org/stops/' || dep_stop_id AS departureStop,
+    'http://example.org/stops/' || arr_stop_id AS arrivalStop,
+    CASE WHEN COALESCE(pickup_type, '') <> ''
+         THEN list_extract({_BOARDING_LIST}, CAST(pickup_type AS INT) + 1) END AS pu,
+    CASE WHEN COALESCE(drop_off_type, '') <> ''
+         THEN list_extract({_BOARDING_LIST}, CAST(drop_off_type AS INT) + 1) END AS dof
+  FROM g_connections
+),
+g_grp AS (
+  SELECT *,
+    count(*) OVER (PARTITION BY departureTime, arrivalTime, gtfs_route, departureStop, arrivalStop) AS n,
+    row_number() OVER (PARTITION BY departureTime, arrivalTime, gtfs_route, departureStop, arrivalStop ORDER BY id DESC) AS rn
+  FROM g_ids
+),
+g_pairs AS (
+  SELECT hi.departureTime, hi.arrivalTime, hi.gtfs_route, hi.departureStop, hi.arrivalStop,
+         hi.id AS hi_id, hi.gtfs_trip AS hi_trip, hi.pu AS hi_pu, hi.dof AS hi_do,
+         lo.id AS lo_id, lo.gtfs_trip AS lo_trip, lo.pu AS lo_pu, lo.dof AS lo_do
+  FROM (SELECT * FROM g_grp WHERE n = 2 AND rn = 1) hi
+  JOIN (SELECT * FROM g_grp WHERE n = 2 AND rn = 2) lo
+  USING (departureTime, arrivalTime, gtfs_route, departureStop, arrivalStop)
+),
+g_merge_decision AS (
+  SELECT *,
+    CASE
+      WHEN lo_pu = 'gtfs:NotAvailable' AND (hi_pu IS NULL OR hi_pu <> 'gtfs:NotAvailable') THEN 'hi_joined'
+      WHEN hi_pu = 'gtfs:NotAvailable' AND (lo_pu IS NULL OR lo_pu <> 'gtfs:NotAvailable') THEN 'lo_joined'
+      WHEN lo_do = 'gtfs:NotAvailable' AND (hi_do IS NULL OR hi_do <> 'gtfs:NotAvailable') THEN 'hi_split'
+      WHEN hi_do = 'gtfs:NotAvailable' AND (lo_do IS NULL OR lo_do <> 'gtfs:NotAvailable') THEN 'lo_split'
+      ELSE 'none' END AS decision
+  FROM g_pairs
+),
+g_after_merge AS (
+  -- singletons
+  SELECT id, departureTime, arrivalTime, gtfs_route, departureStop, arrivalStop, gtfs_trip,
+         CAST(NULL AS VARCHAR) AS joined_trip, CAST(NULL AS VARCHAR) AS split_trip
+  FROM g_grp WHERE n = 1
+  UNION ALL
+  -- unmerged pairs: both survive untouched
+  SELECT g.id, g.departureTime, g.arrivalTime, g.gtfs_route, g.departureStop, g.arrivalStop, g.gtfs_trip, NULL, NULL
+  FROM g_grp g JOIN g_merge_decision d
+    USING (departureTime, arrivalTime, gtfs_route, departureStop, arrivalStop)
+  WHERE g.n = 2 AND d.decision = 'none'
+  UNION ALL
+  -- merged keepers
+  SELECT CASE WHEN decision IN ('hi_joined','hi_split') THEN hi_id ELSE lo_id END,
+         departureTime, arrivalTime, gtfs_route, departureStop, arrivalStop,
+         CASE WHEN decision IN ('hi_joined','hi_split') THEN hi_trip ELSE lo_trip END,
+         CASE WHEN decision = 'hi_joined' THEN lo_trip WHEN decision = 'lo_joined' THEN hi_trip END,
+         CASE WHEN decision = 'hi_split' THEN lo_trip WHEN decision = 'lo_split' THEN hi_trip END
+  FROM g_merge_decision WHERE decision <> 'none'
+),
+g_linked AS (
+  SELECT m.*,
+    lead(id) OVER w AS next_id,
+    lead(split_trip) OVER w AS next_split
+  FROM g_after_merge m
+  WINDOW w AS (PARTITION BY gtfs_trip
+               ORDER BY departureTime, arrivalTime, gtfs_route, departureStop, arrivalStop, id)
+)
+SELECT id, departureTime, gtfs_trip,
+  COALESCE(
+    CASE WHEN next_id IS NOT NULL THEN
+      next_id || COALESCE('|' || (
+        SELECT min(s.id) FROM g_after_merge s
+        WHERE g_linked.split_trip IS NOT NULL AND next_split IS NULL
+          AND s.gtfs_trip = g_linked.split_trip
+          AND (s.departureTime, s.arrivalTime, s.gtfs_route, s.departureStop, s.arrivalStop, s.id)
+            > (g_linked.departureTime, g_linked.arrivalTime, g_linked.gtfs_route, g_linked.departureStop, g_linked.arrivalStop, g_linked.id)
+      ), '')
+    ELSE (
+      -- joined-trip inheritance: earliest later absorber of my trip,
+      -- then that trip's first connection after me
+      SELECT min(t.id) FROM g_after_merge t
+      WHERE t.gtfs_trip = (
+        SELECT m.gtfs_trip FROM g_after_merge m
+        WHERE m.joined_trip = g_linked.gtfs_trip
+          AND (m.departureTime, m.arrivalTime, m.gtfs_route, m.departureStop, m.arrivalStop, m.id)
+            > (g_linked.departureTime, g_linked.arrivalTime, g_linked.gtfs_route, g_linked.departureStop, g_linked.arrivalStop, g_linked.id)
+        ORDER BY m.departureTime, m.arrivalTime, m.gtfs_route, m.departureStop, m.arrivalStop, m.id
+        LIMIT 1
+      )
+      AND (t.departureTime, t.arrivalTime, t.gtfs_route, t.departureStop, t.arrivalStop, t.id)
+        > (g_linked.departureTime, g_linked.arrivalTime, g_linked.gtfs_route, g_linked.departureStop, g_linked.arrivalStop, g_linked.id)
+    )
+    END
+  , '') AS next_ids
+FROM g_linked"""
+    )
+
+
 def sql_triples() -> str:
     """(subj, pred, obj) explosion of the full connection set —
     the P/R comparison surface (lib/Connections2Triples.js:31-99)."""

@@ -136,6 +136,30 @@ def test_embedding_neardup(vecs):
     assert (0, 100) in got and (0, 101) in got and (100, 101) in got
 
 
+def test_lsh_recall_vs_brute_force(spark):
+    """ANN quality metric: recall@3 of the LSH path against the exact
+    baseline on the sf0.001 embeddings table. Random gaussian embeddings
+    are the worst case for LSH (no cluster structure), so the floor is
+    modest — the near-identical-vector case above is the semantic one."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 30)
+    dim = len(e.select("embedding").first()[0])
+    bf = similarity.brute_force_topk(e, q, k=3)
+    bf_pairs = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+
+    def recall(n_probes):
+        lsh = similarity.lsh_topk(e, q, dim=dim, k=3, n_planes=4, n_probes=n_probes)
+        pairs = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
+        return len(bf_pairs & pairs) / len(bf_pairs)
+
+    r1, r5 = recall(1), recall(5)
+    print(f"\nlsh recall@3 (4 planes, random data): 1-probe={r1:.3f} 5-probe={r5:.3f}")
+    assert r5 > r1  # multi-probe must widen the searched space
+    assert r5 >= 0.2
+
+
 def test_blob_metadata(spark):
     rows = [
         (1, b"\x89PNG\r\n rest"),
