@@ -21,6 +21,13 @@ from gtfs2lc_spark import extraction, fixtures, oracle, pipeline, postprocess, s
 from gtfs2lc_spark.datapipe import dedup, multimodal, similarity, text
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    """All timestamp semantics (ISO rendering, yyyyMMdd parsing, to_date
+    on parquet timestamps) assume session tz UTC; the driver may hand us
+    a session configured otherwise — pin it (runtime-settable conf)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -36,6 +43,7 @@ def _fixture_connections(spark: SparkSession) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages table (fixture feed + sf0.001 document texts as
     noise pages) -> extraction -> connections -> JSON-LD rows."""
+    _pin_utc(spark)
     docs = _load(spark, "/root/testdata/sf0.001", "documents")
     noise = docs.select(
         F.concat(F.lit("https://noise.example.org/doc/"), F.col("doc_id")).alias("url"),
@@ -302,7 +310,19 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.size("features").alias("dim"))
 
 
+def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _pin_utc(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _with_utc(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gtfs_service_expansion": _q_gtfs_service_expansion,
         "gtfs_rules": _q_gtfs_rules,

@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: the properties that make this engine
+viable at 100 TB must not silently regress (see PLANS.md)."""
+
+import pytest
+
+from gtfs2lc_spark import extraction, fixtures, pipeline, sinks
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages") / "pq")
+    fixtures.pages_df(spark, noise_pages=10).write.parquet(d)
+    return d
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark, pages_parquet):
+    """The GTFS-marker prefilter and the (url, text) projection must
+    reach the parquet scan — html/warc_ts/lang are never read."""
+    det = extraction.detect_pages(spark.read.parquet(pages_parquet), detect_partitions=2)
+    plan = _executed_plan(det)
+    assert "StringStartsWith(text,#gtfs-file:)" in plan
+    scan_line = next(l for l in plan.split("\n") if "FileScan parquet" in l)
+    assert "ReadSchema: struct<url:string,text:string>" in scan_line
+    assert "html" not in scan_line
+
+
+def test_pipeline_plan_is_broadcast_only(spark, pages_parquet):
+    """No SortMergeJoin anywhere; dimension enrichment is all broadcast;
+    the exploded connections never shuffle (only rule-sized exchanges)."""
+    e = extraction.extract_entities(
+        spark.read.parquet(pages_parquet), detect_partitions=2
+    )
+    tr = sinks.connections_to_triples(
+        pipeline.convert(
+            e["stop_times"], e["trips"], e["routes"], e["stops"],
+            e["calendar"], e["calendar_dates"], salt_n=16,
+        )
+    )
+    plan = _executed_plan(tr)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    # structural check: no Exchange appears above (closer to root than)
+    # the dates explode in any subtree — i.e. exploded rows never
+    # shuffle; approximate tree position via indentation:
+    lines = plan.split("\n")
+    explode_idx = [i for i, l in enumerate(lines) if "explode" in l and "dates" in l]
+    assert explode_idx, "dates explode missing from plan"
+    for i in explode_idx:
+        depth = len(lines[i]) - len(lines[i].lstrip(" +-:"))
+        # everything ABOVE the explode at shallower depth up to the root
+        for j in range(i - 1, -1, -1):
+            dj = len(lines[j]) - len(lines[j].lstrip(" +-:"))
+            if dj < depth and "Exchange" in lines[j]:
+                raise AssertionError(
+                    f"exchange above the explode (line {j}): {lines[j].strip()}"
+                )
