@@ -286,6 +286,12 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, q, dim=dim, k=3, n_planes=8)
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return similarity.ivf_topk(e, q, k=3, n_centroids=16, n_probe=4)
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir, "embeddings")
     # 0.15 on random embeddings yields a non-trivial pair set — a real
@@ -345,6 +351,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
@@ -506,6 +513,43 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
               WHERE q.vec_id < 20
             ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        """,
+        "ann_ivf_topk": f"""
+            WITH cents AS (
+              SELECT embedding AS cvec,
+                     row_number() OVER (ORDER BY vec_id) - 1 AS c
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            corpus_assign AS (
+              SELECT neighbor_id, cvec2 AS cvec, c AS cluster FROM (
+                SELECT e.vec_id AS neighbor_id, e.embedding AS cvec2, ct.c,
+                  round({_DUCK_COS.format(a='e.embedding', b='ct.cvec')}, 6) AS s,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round({_DUCK_COS.format(a='e.embedding', b='ct.cvec')}, 6) DESC, ct.c DESC) AS rn
+                FROM embeddings e CROSS JOIN cents ct
+              ) WHERE rn = 1
+            ),
+            q_probes AS (
+              SELECT query_id, qvec2 AS qvec, c AS cluster FROM (
+                SELECT e.vec_id AS query_id, e.embedding AS qvec2, ct.c,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round({_DUCK_COS.format(a='e.embedding', b='ct.cvec')}, 6) DESC, ct.c DESC) AS rn
+                FROM embeddings e CROSS JOIN cents ct
+                WHERE e.vec_id < 20
+              ) WHERE rn <= 4
+            ),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                round({_DUCK_COS.format(a='qvec', b='cvec')}, 6) AS cosine
+              FROM q_probes JOIN corpus_assign USING (cluster)
+              WHERE query_id <> neighbor_id
+            ),
+            ranked AS (
               SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored

@@ -133,7 +133,11 @@ def extract_entities(
             "url",
             F.explode(F.split("body", "\n")).alias("line"),
         ).where(F.length(F.trim("line")) > 0)
-        parsed = lines.withColumn("r", F.from_csv("line", schema_ddl))
+        # GTFS quoting: '"' both as quote and as the "" escape
+        # (reference: fast-csv with quote '"', StopTimes2Cxs.js:31-33)
+        parsed = lines.withColumn(
+            "r", F.from_csv("line", schema_ddl, {"quote": '"', "escape": '"'})
+        )
         out[fname.removesuffix(".txt")] = parsed.select(
             *[F.coalesce(F.col(f"r.{c}"), F.lit("")).alias(c) for c in cols],
             "feed_id",

@@ -130,6 +130,22 @@ def test_lsh_topk_finds_near_identical(vecs):
     assert 100 in ids and 101 in ids  # same bucket guaranteed for near-identical
 
 
+def test_ivf_topk(vecs):
+    """IVF finds near-identical vectors (same nearest centroid by
+    construction) and measures recall vs brute force."""
+    out = similarity.ivf_topk(vecs, vecs.where(F.col("vec_id") == 0), k=2,
+                              n_centroids=8, n_probe=2)
+    ids = {r.neighbor_id for r in out.collect()}
+    assert {100, 101} == ids
+
+    q = vecs.where(F.col("vec_id") < 20)
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(vecs, q, k=3).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(vecs, q, k=3, n_centroids=8, n_probe=4).collect()}
+    recall = len(bf & ivf) / len(bf)
+    print(f"\nivf recall@3 (8 lists, 4 probes): {recall:.3f}")
+    assert recall >= 0.4
+
+
 def test_embedding_neardup(vecs):
     out = similarity.embedding_near_duplicates(vecs, threshold=0.99)
     got = {(r.id_a, r.id_b) for r in out.collect()}

@@ -60,6 +60,27 @@ def test_pages_to_connections_end_to_end(spark):
     assert conns.count() == fixtures.SAMPLE_FEED_CONNECTIONS
 
 
+def test_quoted_csv_fields(spark):
+    """from_csv must honor GTFS quoting: embedded commas and escaped
+    quotes survive extraction intact (the reference uses fast-csv with
+    quote '\"' — lib/stoptimes/StopTimes2Cxs.js:31-33)."""
+    from datetime import datetime, timezone
+
+    from gtfs2lc_spark.schemas import PAGES_SCHEMA
+
+    csv = (
+        "stop_id,stop_name,stop_desc,stop_lat,stop_lon,zone_id,stop_url\n"
+        'S1,"Main St, Platform ""A""",desc,1.0,2.0,,\n'
+    )
+    text = f"{fixtures.GTFS_MARKER} stops.txt feed=qf\n{csv}"
+    ts = datetime(2026, 1, 15, tzinfo=timezone.utc)
+    pages = spark.createDataFrame([("u", ts, b"", text, "en")], PAGES_SCHEMA)
+    stops = extraction.extract_entities(pages, persist=False)["stops"]
+    row = stops.first()
+    assert row.stop_name == 'Main St, Platform "A"'
+    assert row.stop_id == "S1"
+
+
 def test_multi_feed_scoping(spark):
     """Two feeds extract independently; all joins are feed_id-scoped."""
     pages = fixtures.pages_df(spark, n_feeds=2, noise_pages=5)
