@@ -44,6 +44,10 @@ def build_outputs(
     uris = URIStrategy(base_uris)
     if fmt == "csv":
         return sinks.connections_to_csv_rows(conns)
+    if fmt == "json":
+        # reference 'json' = raw Connection objects (CLI default,
+        # bin/gtfs2lc.js:19-22), distinct from compacted JSON-LD
+        return sinks.raw_json_lines(conns)
     jsonld = sinks.connections_to_jsonld(conns, uris)
     if join_and_sort:
         jsonld = postprocess.join_and_sort(

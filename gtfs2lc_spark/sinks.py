@@ -105,6 +105,39 @@ def jsonld_lines(jsonld: DataFrame) -> DataFrame:
     return jsonld.select(F.to_json(F.struct(*fields)).alias("line"))
 
 
+def raw_json_lines(conns: DataFrame) -> DataFrame:
+    """The reference's ``json`` format: raw Connection objects as
+    ND-JSON (lib/streams/JSONLinesStringer.js + the Connection shape of
+    lib/ConnectionsBuilder.js:42-53) — nested full stop/trip/route rows,
+    keys in the reference's insertion order, Dates as ISO strings."""
+    from .schemas import ROUTES_COLS, STOPS_COLS, TRIPS_COLS
+
+    def row_struct(prefix: str, cols: tuple[str, ...], *extra) -> Column:
+        return F.struct(
+            *[F.col(f"{prefix}{c}").alias(c) for c in cols if f"{prefix}{c}" in conns.columns],
+            *extra,
+        )
+
+    obj = F.struct(
+        iso(F.col("departure_ts")).alias("departureTime"),
+        row_struct("dep_", STOPS_COLS).alias("departureStop"),
+        iso(F.col("arrival_ts")).alias("arrivalTime"),
+        row_struct("arr_", STOPS_COLS).alias("arrivalStop"),
+        row_struct(
+            "trip_",
+            TRIPS_COLS,
+            F.col("trip_start_dfm").alias("startTime_dfm"),
+            iso(F.col("trip_start_ts")).alias("startTime"),
+        ).alias("trip"),
+        row_struct("route_", ROUTES_COLS).alias("route"),
+        F.col("headsign"),
+        F.col("stop_sequence"),
+        F.col("pickup_type"),
+        F.col("drop_off_type"),
+    )
+    return conns.select(F.to_json(obj).alias("line"))
+
+
 def mongo_lines(jsonld: DataFrame) -> DataFrame:
     """Mongo Extended JSON lines (S8, lib/Connections2Mongo.js:15-33):
     '@id' -> '_id', timestamps wrapped as {"$date": iso}. Built on the

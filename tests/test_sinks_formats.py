@@ -8,6 +8,25 @@ from pyspark.sql import functions as F
 from gtfs2lc_spark import sinks
 
 
+def test_raw_json_format(connections):
+    """Reference 'json' format: nested full stop/trip/route rows; the
+    regression the reference pins is arrivalStop.stop_id == 'AMV' for
+    the first AAMV1 connection (test/resultStream.test.js:49-52)."""
+    line = sinks.raw_json_lines(
+        connections.where(
+            (F.col("trip_id") == "AAMV1") & (F.col("service_date") == "20070106")
+        )
+    ).first().line
+    obj = json.loads(line)
+    assert obj["arrivalStop"]["stop_id"] == "AMV"
+    assert obj["departureStop"]["stop_name"] == "Nye County Airport (Demo)"
+    assert obj["departureTime"] == "2007-01-06T07:00:00.000Z"
+    assert obj["trip"]["startTime"] == "2007-01-06T07:00:00.000Z"
+    assert obj["trip"]["service_id"] == "WE"
+    assert obj["route"]["route_long_name"] == "Airport - Amargosa Valley"
+    assert obj["stop_sequence"] == "1"
+
+
 def test_mongo_lines(jsonld):
     line = sinks.mongo_lines(
         jsonld.where(F.col("id").contains("/AAMV1")).limit(1)
