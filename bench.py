@@ -48,11 +48,6 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
     # warm the JVM/codegen/JIT once on 2 feeds through the IDENTICAL plan
     # shape as the measured run (same source, same stage boundaries)
     warm = fixtures.pages_df_scaled(spark, 2, noise_pages=40, n_partitions=cpus * 2)
@@ -98,7 +93,13 @@ def main() -> None:
         "dedup_exact",
         "text_token_count",
     ):
-        timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
+        # best-of-2 per query: same co-tenant-noise defense as above
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
 
     total_triples = n_feeds * TRIPLES_PER_FEED
     tps = round(total_triples / timings["gtfs_pipeline_triples"], 1)
