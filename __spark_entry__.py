@@ -575,8 +575,4 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'application/octet-stream' END AS blob_mime
             FROM documents
         """,
-        # minhash_neardup / simhash_candidates / ann_lsh_topk /
-        # multimodal_features / gtfs_join_and_sort: engine-specific
-        # hashing (xxhash64) or stateful sequential semantics -> no SQL
-        # oracle; the driver records rows-only checks for these.
     }

@@ -30,6 +30,29 @@ def minhash_params(num_perm: int = 32, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MAX_A), rng.randrange(0, _MAX_A)) for _ in range(num_perm)]
 
 
+def portable_hash32(c: Column) -> Column:
+    """Engine-portable 32-bit hash: first 8 hex chars of md5, as long.
+    Reproducible in any engine with md5 — DuckDB:
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT``. Production paths default
+    to xxhash64 (JVM-native, ~3x faster); this exists so the correctness
+    gate can value-verify hash-dependent operators against an
+    independent engine."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash60(c: Column) -> Column:
+    """Engine-portable 60-bit hash (15 hex chars of md5 — stays inside a
+    signed 64-bit int in every engine). DuckDB:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _token_hash32(c: Column, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        return portable_hash32(c)
+    return F.pmod(F.xxhash64(c), F.lit(1 << 32))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest id per normalized-text fingerprint."""
     h = fingerprint(F.col(text_col)).alias("fp")
@@ -56,15 +79,19 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingles: Column, num_perm: int = 32, seed: int = 42) -> Column:
+def minhash_signature(
+    shingles: Column, num_perm: int = 32, seed: int = 42, hash_fn: str = "xxhash64"
+) -> Column:
     """num_perm-wide minhash signature, fully JVM-side.
 
-    h32 = xxhash64(shingle) mod 2^32; sig_p = min((a_p*h32+b_p) mod P).
+    h32 = hash32(shingle); sig_p = min((a_p*h32+b_p) mod P).
     a_p < 2^30 keeps a*h below 2^62 — no long overflow. Empty shingle
     sets get sentinel P (never collides with real minima).
+    ``hash_fn``: 'xxhash64' (production) or 'md5' (portable_hash32 —
+    exactly reproducible in the DuckDB oracle).
     """
     params = minhash_params(num_perm, seed)
-    h32 = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    h32 = F.transform(shingles, lambda s: _token_hash32(s, hash_fn))
     sig = [
         F.coalesce(
             F.array_min(
@@ -85,15 +112,23 @@ def lsh_candidate_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b, band-deduped).
 
     Plan shape: one narrow pass computes signatures; explode to
     (band, band_hash) — bands x n rows; one shuffle groups buckets;
     pairs come from a self-join *within buckets only*.
+
+    The band key is xxhash64 of the band's signature tuple regardless of
+    ``hash_fn``: equal tuples hash equal, so the candidate set is
+    identical to joining on the tuple itself (what the oracle does),
+    modulo 64-bit collisions.
     """
     rows = num_perm // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_k), num_perm, seed)
+    sig = minhash_signature(
+        word_shingles(F.col(text_col), shingle_k), num_perm, seed, hash_fn
+    )
     banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
         "id",
         F.explode(

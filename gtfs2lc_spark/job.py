@@ -32,7 +32,52 @@ from gtfs2lc_spark.extraction import extract_entities
 from gtfs2lc_spark.session import build_session
 from gtfs2lc_spark.uris import URIStrategy
 
-FORMATS = ("json", "jsonld", "csv", "ntriples", "triples-parquet")
+# the reference's format whitelist (lib/gtfs2connections.js:29-38) minus
+# 'jelly' (binary framing out of scope per BASELINE.json), plus the
+# Spark-native 'triples-parquet' staging format
+FORMATS = ("json", "jsonld", "mongo", "mongold", "csv", "turtle", "ntriples",
+           "triples-parquet")
+
+
+# formatExtension (lib/gtfs2connections.js:40-55 equivalents)
+FORMAT_EXT = {
+    "json": "json", "mongo": "json", "jsonld": "jsonld", "mongold": "jsonld",
+    "csv": "csv", "turtle": "ttl", "ntriples": "nt",
+}
+
+
+def merge_shards(
+    shards_dir: str, dest: str, header: str | None, gz: bool = False
+) -> None:
+    """Driver-side shard concat (S7, mergeWorkerOutput): header line(s)
+    first, then every part file in name order. Streaming copy — the
+    driver never holds more than one buffer."""
+    import glob
+    import gzip
+    import shutil
+
+    opener = gzip.open if gz else open
+    with opener(dest, "wt") as w:
+        if header is not None:
+            w.write(header + "\n")
+        for part in sorted(glob.glob(f"{shards_dir}/part-*")):
+            with open(part) as r:
+                shutil.copyfileobj(r, w)
+
+
+def format_header(fmt: str) -> str | None:
+    """The once-only worker-0 header line(s) for a format (O5):
+    CSV column header, jsonld/mongold @context record, Turtle
+    version+prefixes, N-Triples version line."""
+    if fmt == "csv":
+        return sinks.CSV_HEADER
+    if fmt in ("jsonld", "mongold"):
+        return json.dumps(sinks.JSONLD_CONTEXT, separators=(",", ":"))
+    if fmt == "turtle":
+        return sinks.turtle_header()
+    if fmt == "ntriples":
+        return sinks.NTRIPLES_VERSION_LINE
+    return None
 
 
 def build_outputs(
@@ -48,20 +93,26 @@ def build_outputs(
         # reference 'json' = raw Connection objects (CLI default,
         # bin/gtfs2lc.js:19-22), distinct from compacted JSON-LD
         return sinks.raw_json_lines(conns)
-    jsonld = sinks.connections_to_jsonld(conns, uris)
-    if join_and_sort:
-        jsonld = postprocess.join_and_sort(
-            jsonld.drop("feed_id", "type", "departure_ts", "arrival_ts")
-        )
-    if fmt in ("json", "jsonld"):
+    if fmt == "mongo":
+        return sinks.mongo_lines(conns)
+    if fmt in ("jsonld", "mongold"):
+        jsonld = sinks.connections_to_jsonld(conns, uris)
+        if join_and_sort:
+            jsonld = postprocess.join_and_sort(
+                jsonld.drop("feed_id", "type", "departure_ts", "arrival_ts")
+            )
+        if fmt == "mongold":
+            return sinks.mongold_lines(jsonld)
         return sinks.jsonld_lines(jsonld)
+    if fmt == "turtle":
+        return sinks.turtle_message_lines(conns, uris)
     triples = sinks.connections_to_triples(conns, uris)
     if fmt == "ntriples":
         return sinks.triples_to_ntriples_lines(triples)
     return triples  # triples-parquet
 
 
-def main(argv: list[str] | None = None) -> int:
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pages", help="path to pages parquet/Iceberg table")
     ap.add_argument("--synthesize-feeds", type=int, default=0)
@@ -79,9 +130,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="gzip text output (S6, reference --compressed)")
     ap.add_argument("--single-file", action="store_true",
                     help="coalesce(1) merge like the reference's worker-merge (S7)")
-    args = ap.parse_args(argv)
+    return ap.parse_args(argv)
 
-    spark = build_session(app_name="gtfs2lc-spark-job")
+
+def run(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """Execute one conversion on an existing session (testable core of
+    ``main``); returns the run-summary dict the CLI prints."""
     t0 = time.time()
 
     if args.pages:
@@ -89,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.synthesize_feeds:
         pages = fixtures.pages_df_scaled(spark, args.synthesize_feeds, noise_pages=40)
     else:
-        ap.error("need --pages or --synthesize-feeds")
+        raise ValueError("need --pages or --synthesize-feeds")
 
     e = extract_entities(pages)
     conns = pipeline.convert(
@@ -116,28 +170,45 @@ def main(argv: list[str] | None = None) -> int:
         base_uris = FEED_SCOPED_BASE_URIS
 
     out = build_outputs(conns, args.format, base_uris, args.join_and_sort)
-    if args.single_file:
-        out = out.coalesce(1)
-    writer = out.write.mode("overwrite")
+    header = format_header(args.format)
     if args.format == "triples-parquet":
-        writer.parquet(args.output)
+        out.write.mode("overwrite").parquet(args.output)
+    elif args.single_file:
+        # S7: the reference merges worker shards into ONE file on the
+        # main thread, worker 0 (and thus the header/@context) first
+        # (mergeWorkerOutput, lib/gtfs2connections.js:155-184). Same
+        # here: write shards, driver-concat in shard order.
+        shards_dir = f"{args.output}/_shards"
+        out.write.mode("overwrite").text(shards_dir)
+        ext = FORMAT_EXT.get(args.format, "txt") + (".gz" if args.compressed else "")
+        merge_shards(shards_dir, f"{args.output}/linkedConnections.{ext}",
+                     header, gz=args.compressed)
     else:
+        writer = out.write.mode("overwrite")
         if args.compressed:
             writer = writer.option("compression", "gzip")
         writer.text(args.output)
-        if args.format == "csv":
+        if header is not None:
             # O5: header emitted once, driver-side (reference: only
-            # worker 0 streams the header, lib/Connections2CSV.js:12-17)
-            with open(f"{args.output}/_header.csv", "w") as f:
-                f.write(sinks.CSV_HEADER + "\n")
+            # worker 0 streams the header / @context / @version —
+            # lib/Connections2CSV.js:12-17, lib/gtfs2connections.js:265-294).
+            # '_'-prefixed: sorts first for cat, ignored by Spark readers.
+            with open(f"{args.output}/_header.txt", "w") as f:
+                f.write(header + "\n")
 
     # reference logs "<file> created in <ms> ms" (lib/gtfs2connections.js:95-97)
-    msg = {
+    return {
         "output": args.output,
         "format": args.format,
         "elapsed_ms": int((time.time() - t0) * 1000),
         "snapshot": snap.metrics if snap else None,
     }
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    spark = build_session(app_name="gtfs2lc-spark-job")
+    msg = run(spark, args)
     print(json.dumps(msg))
     spark.stop()
     return 0

@@ -146,7 +146,6 @@ def stop_times_to_rules(
         st.withColumn("prev_stop_id", F.lag("stop_id").over(w))
         .withColumn("prev_departure_time", F.lag("departure_time").over(w))
         .withColumn("prev_pickup_type", F.lag("pickup_type").over(w))
-        .withColumn("prev_stop_headsign", F.lag("stop_headsign").over(w))
         .withColumn("prev_stop_sequence", F.lag("stop_sequence").over(w))
         # A3: trip start time = departure_time of the trip's first stop_time
         .withColumn("trip_start_dfm", F.first("departure_time").over(w))
@@ -230,7 +229,11 @@ def stop_times_to_rules(
         _blank(F.col("prev_pickup_type")).alias("pickup_type"),
         _blank(F.col("drop_off_type")).alias("drop_off_type"),
         F.coalesce(*headsign_chain).alias("headsign"),
-        (_nullif_empty(F.col("prev_stop_headsign")) if "prev_stop_headsign" in enriched.columns else F.lit(None).cast("string")).alias("previous_headsign"),
+        # previous_headsign reads stop_headsign off the DEPARTURE stops.txt
+        # row (st2c.js:63-66) — stops.txt has no such column, so this is
+        # null unless the stops table carries one; NOT the lagged
+        # stop_times.stop_headsign (a latent reference quirk, kept as-is)
+        (_nullif_empty(F.col("dep_stop_headsign")) if "dep_stop_headsign" in enriched.columns else F.lit(None).cast("string")).alias("previous_headsign"),
         unique_id.alias("unique_id"),
         *[
             c

@@ -15,25 +15,40 @@ from .uris import ConnectionColumns, URIStrategy
 
 ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
-# reference: lib/gtfs2connections.js:317-332
+# The @context record worker 0 emits as the first jsonld/mongold line —
+# exact key set and order of linkedConnectionsContext()
+# (lib/gtfs2connections.js:317-333)
 JSONLD_CONTEXT = {
     "@context": {
         "lc": LC,
         "gtfs": GTFS,
         "xsd": XSD,
+        "trip": {"@type": "@id", "@id": "gtfs:trip"},
         "Connection": "lc:Connection",
         "CancelledConnection": "lc:CancelledConnection",
-        "departureTime": {"@id": "lc:departureTime", "@type": "xsd:dateTime"},
-        "departureStop": {"@id": "lc:departureStop", "@type": "@id"},
-        "arrivalStop": {"@id": "lc:arrivalStop", "@type": "@id"},
-        "arrivalTime": {"@id": "lc:arrivalTime", "@type": "xsd:dateTime"},
-        "direction": {"@id": "gtfs:headsign", "@type": "xsd:string"},
-        "gtfs:trip": {"@type": "@id"},
-        "gtfs:route": {"@type": "@id"},
-        "gtfs:pickupType": {"@type": "@id"},
-        "gtfs:dropOffType": {"@type": "@id"},
+        "departureTime": {"@type": "xsd:dateTime", "@id": "lc:departureTime"},
+        "departureStop": {"@type": "@id", "@id": "lc:departureStop"},
+        "arrivalStop": {"@type": "@id", "@id": "lc:arrivalStop"},
+        "arrivalTime": {"@type": "xsd:dateTime", "@id": "lc:arrivalTime"},
     }
 }
+
+# RDF 1.2 message-log framing (StreamWriter version option,
+# lib/gtfs2connections.js:273-294); non-first workers strip exactly these
+# header shapes (lib/streams/RemoveRdfMessageVersion.js:10-36)
+TURTLE_VERSION_LINE = '@version "1.2-messages" .'
+NTRIPLES_VERSION_LINE = 'VERSION "1.2-messages"'
+
+# rdfPrefixes() (lib/gtfs2connections.js:309-315)
+RDF_PREFIXES = {"lc": LC, "gtfs": GTFS, "xsd": XSD}
+
+
+def turtle_header() -> str:
+    """Worker-0 Turtle header: version line first (what
+    RemoveRdfMessageVersion strips on other workers), then prefixes."""
+    lines = [TURTLE_VERSION_LINE]
+    lines += [f"@prefix {p}: <{ns}> ." for p, ns in RDF_PREFIXES.items()]
+    return "\n".join(lines)
 
 
 def iso(c: Column) -> Column:
@@ -138,11 +153,12 @@ def raw_json_lines(conns: DataFrame) -> DataFrame:
     return conns.select(F.to_json(obj).alias("line"))
 
 
-def mongo_lines(jsonld: DataFrame) -> DataFrame:
-    """Mongo Extended JSON lines (S8, lib/Connections2Mongo.js:15-33):
-    '@id' -> '_id', timestamps wrapped as {"$date": iso}. Built on the
-    jsonld-shaped DataFrame; key order mirrors the reference's mutation
-    order (original keys first, _id appended last)."""
+def mongold_lines(jsonld: DataFrame) -> DataFrame:
+    """``mongold`` format (S8): the jsonld stream run through
+    Connections2Mongo (lib/Connections2Mongo.js:15-33 after
+    Connections2JSONLD): '@id' -> '_id', timestamps wrapped as
+    {"$date": iso}. Key order mirrors the reference's mutation order
+    (original keys first, _id appended last)."""
     date = lambda c: F.struct(F.col(c).alias("$date"))  # noqa: E731
     fields = [
         (F.col("type") if "type" in jsonld.columns else F.lit("Connection")).alias("@type"),
@@ -158,6 +174,100 @@ def mongo_lines(jsonld: DataFrame) -> DataFrame:
         F.col("id").alias("_id"),
     ]
     return jsonld.select(F.to_json(F.struct(*fields)).alias("line"))
+
+
+def mongo_lines(conns: DataFrame) -> DataFrame:
+    """``mongo`` format (S8): RAW Connection objects (no URIs/@id) with
+    only the top-level departureTime/arrivalTime wrapped as {"$date":
+    iso} — the reference routes the raw stream through Connections2Mongo
+    before JSONLinesStringer (lib/gtfs2connections.js:263-264;
+    lib/Connections2Mongo.js:20-27; no '@id' exists on raw connections,
+    so no '_id' is added)."""
+    from .schemas import ROUTES_COLS, STOPS_COLS, TRIPS_COLS
+
+    def row_struct(prefix: str, cols: tuple[str, ...], *extra) -> Column:
+        return F.struct(
+            *[F.col(f"{prefix}{c}").alias(c) for c in cols if f"{prefix}{c}" in conns.columns],
+            *extra,
+        )
+
+    date = lambda c: F.struct(iso(F.col(c)).alias("$date"))  # noqa: E731
+    obj = F.struct(
+        date("departure_ts").alias("departureTime"),
+        row_struct("dep_", STOPS_COLS).alias("departureStop"),
+        date("arrival_ts").alias("arrivalTime"),
+        row_struct("arr_", STOPS_COLS).alias("arrivalStop"),
+        row_struct(
+            "trip_",
+            TRIPS_COLS,
+            F.col("trip_start_dfm").alias("startTime_dfm"),
+            iso(F.col("trip_start_ts")).alias("startTime"),
+        ).alias("trip"),
+        row_struct("route_", ROUTES_COLS).alias("route"),
+        F.col("headsign"),
+        F.col("stop_sequence"),
+        F.col("pickup_type"),
+        F.col("drop_off_type"),
+    )
+    return conns.select(F.to_json(obj).alias("line"))
+
+
+def _turtle_escape(c: Column) -> Column:
+    """Turtle/N-Triples string-literal escaping (backslash first)."""
+    e = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    e = F.replace(e, F.lit('"'), F.lit('\\"'))
+    e = F.replace(e, F.lit("\n"), F.lit("\\n"))
+    e = F.replace(e, F.lit("\r"), F.lit("\\r"))
+    return e
+
+
+def turtle_message_lines(conns: DataFrame, uris: URIStrategy | None = None) -> DataFrame:
+    """``turtle`` format: one RDF message per connection, one text line
+    per message (valid Turtle; predicate list shares the single subject
+    via ';'). Mirrors the quad order of lib/Connections2Triples.js:31-99
+    — type, stops, times, trip, route, then conditional headsign,
+    dropOffType, pickupType — and the reference's own invariant that
+    every message describes exactly one subject
+    (test/resultStream.test.js:41-46,65-78).
+
+    Pure column expressions: the serialization is a narrow map-side op.
+    The worker-0 header (version + prefixes) is ``turtle_header()``,
+    written once by the caller (O5 semantics)."""
+    uris = uris or URIStrategy(cc=ConnectionColumns())
+    cc = uris.cc
+    iri = lambda c: F.concat(F.lit("<"), c, F.lit(">"))  # noqa: E731
+
+    def lit_dt(c: Column, dt: str) -> Column:
+        return F.concat(F.lit('"'), _turtle_escape(c), F.lit(f'"^^{dt}'))
+
+    headsign = F.coalesce(
+        F.col("headsign"), F.nullif(F.col("trip_trip_headsign"), F.lit(""))
+    )
+    parts = [
+        F.concat(iri(uris.connection_id()), F.lit(" a lc:Connection")),
+        F.concat(F.lit("lc:departureStop "), iri(uris.stop_id(cc.dep_stop_prefix))),
+        F.concat(F.lit("lc:arrivalStop "), iri(uris.stop_id(cc.arr_stop_prefix))),
+        F.concat(F.lit("lc:departureTime "), lit_dt(iso(F.col(cc.departure_ts)), "xsd:dateTime")),
+        F.concat(F.lit("lc:arrivalTime "), lit_dt(iso(F.col(cc.arrival_ts)), "xsd:dateTime")),
+        F.concat(F.lit("gtfs:trip "), iri(uris.trip_id())),
+        F.concat(F.lit("gtfs:route "), iri(uris.route_id())),
+        # conditional parts: concat_ws skips nulls
+        F.when(
+            headsign.isNotNull(),
+            F.concat(F.lit("gtfs:headsign "), lit_dt(headsign, "xsd:string")),
+        ),
+        F.when(
+            F.coalesce(F.col("drop_off_type"), F.lit("")) != "",
+            F.concat(F.lit("gtfs:dropOffType "), _boarding(F.col("drop_off_type"), short=True)),
+        ),
+        F.when(
+            F.coalesce(F.col("pickup_type"), F.lit("")) != "",
+            F.concat(F.lit("gtfs:pickupType "), _boarding(F.col("pickup_type"), short=True)),
+        ),
+    ]
+    return conns.select(
+        F.concat(F.concat_ws(" ; ", *parts), F.lit(" .")).alias("line")
+    )
 
 
 def triples_with_message_counter(

@@ -1,0 +1,111 @@
+"""Job CLI format matrix — mirrors the reference's test/cli.test.js
+per-format validity markers (csv header, @context first record,
+RDF version framing, $date wrapping) and the worker-0 header
+semantics (O5)."""
+
+import glob
+import json
+
+import pytest
+
+from gtfs2lc_spark import job
+
+
+def _run(spark, tmp_path, fmt, *extra):
+    out = str(tmp_path / f"out_{fmt}")
+    args = job.parse_args(
+        ["--synthesize-feeds", "1", "--output", out, "--format", fmt, *extra]
+    )
+    job.run(spark, args)
+    return out
+
+
+def _lines(out_dir):
+    lines = []
+    files = (
+        sorted(glob.glob(f"{out_dir}/linkedConnections.*"))
+        or sorted(glob.glob(f"{out_dir}/_header.txt")) + sorted(glob.glob(f"{out_dir}/part-*"))
+    )
+    for f in files:
+        with open(f) as fh:
+            lines += [ln.rstrip("\n") for ln in fh if ln.strip()]
+    return lines
+
+
+def test_unsupported_format_rejected():
+    with pytest.raises(SystemExit):
+        job.parse_args(["--output", "/tmp/x", "--format", "nope"])
+
+
+def test_csv_format(spark, tmp_path):
+    lines = _lines(_run(spark, tmp_path, "csv"))
+    assert lines[0] == (
+        '"departureStop","departureTime","arrivalStop","arrivalTime",'
+        '"trip","route","headsign"'
+    )
+    assert all(ln.count(",") >= 6 for ln in lines[1:])
+
+
+def test_jsonld_format_has_context_first(spark, tmp_path):
+    """test/cli.test.js checks the jsonld stream carries @context;
+    the reference emits it as worker 0's first record."""
+    lines = _lines(_run(spark, tmp_path, "jsonld", "--single-file"))
+    first = json.loads(lines[0])
+    assert list(first) == ["@context"]
+    assert first["@context"]["lc"] == "http://semweb.mmlab.be/ns/linkedconnections#"
+    rec = json.loads(lines[1])
+    assert rec["@type"] == "Connection"
+    assert rec["@id"].startswith("http")
+
+
+def test_mongo_format(spark, tmp_path):
+    lines = _lines(_run(spark, tmp_path, "mongo"))
+    rec = json.loads(lines[0])
+    assert set(rec["departureTime"]) == {"$date"}
+    assert "_id" not in rec
+
+
+def test_mongold_format(spark, tmp_path):
+    lines = _lines(_run(spark, tmp_path, "mongold", "--single-file"))
+    assert "@context" in json.loads(lines[0])
+    rec = json.loads(lines[1])
+    assert set(rec["arrivalTime"]) == {"$date"}
+    assert rec["_id"].startswith("http")
+
+
+def test_turtle_format(spark, tmp_path):
+    lines = _lines(_run(spark, tmp_path, "turtle"))
+    assert lines[0] == '@version "1.2-messages" .'
+    assert lines[1].startswith("@prefix lc: <")
+    body = [ln for ln in lines if not ln.startswith("@")]
+    assert all(ln.endswith(" .") for ln in body)
+    assert any(" a lc:Connection" in ln for ln in body)
+
+
+def test_ntriples_format_version_line(spark, tmp_path):
+    lines = _lines(_run(spark, tmp_path, "ntriples"))
+    assert lines[0] == 'VERSION "1.2-messages"'
+    assert all(ln.startswith("<http") for ln in lines[1:])
+
+
+def test_single_file_header_first(spark, tmp_path):
+    """S7 merge: one linkedConnections.<ext> file, header line first."""
+    out = _run(spark, tmp_path, "csv", "--single-file")
+    merged = glob.glob(f"{out}/linkedConnections.csv")
+    assert len(merged) == 1
+    with open(merged[0]) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0].startswith('"departureStop"')
+    assert len(lines) == 3473  # header + 3472 connections
+
+
+def test_single_file_gzip(spark, tmp_path):
+    """S6+S7: --compressed single file is a valid gzip stream."""
+    import gzip
+
+    out = _run(spark, tmp_path, "ntriples", "--single-file", "--compressed")
+    merged = glob.glob(f"{out}/linkedConnections.nt.gz")
+    assert len(merged) == 1
+    with gzip.open(merged[0], "rt") as fh:
+        first = fh.readline().rstrip("\n")
+    assert first == 'VERSION "1.2-messages"'

@@ -27,14 +27,43 @@ def test_raw_json_format(connections):
     assert obj["stop_sequence"] == "1"
 
 
-def test_mongo_lines(jsonld):
-    line = sinks.mongo_lines(
+def test_mongold_lines(jsonld):
+    line = sinks.mongold_lines(
         jsonld.where(F.col("id").contains("/AAMV1")).limit(1)
     ).first().line
     obj = json.loads(line)
     assert "_id" in obj and "@id" not in obj
     assert set(obj["departureTime"]) == {"$date"}
     assert obj["departureTime"]["$date"].endswith("Z")
+
+
+def test_mongo_lines_raw(connections):
+    """'mongo' = RAW connections through Connections2Mongo: only the
+    top-level times get $date wrapped, no _id (raw objects have no @id)
+    — lib/Connections2Mongo.js:20-31."""
+    line = sinks.mongo_lines(
+        connections.where(
+            (F.col("trip_id") == "AAMV1") & (F.col("service_date") == "20070106")
+        )
+    ).first().line
+    obj = json.loads(line)
+    assert "_id" not in obj and "@id" not in obj
+    assert obj["departureTime"] == {"$date": "2007-01-06T07:00:00.000Z"}
+    assert obj["arrivalStop"]["stop_id"] == "AMV"
+    # nested trip.startTime stays a plain ISO string
+    assert isinstance(obj["trip"]["startTime"], str)
+
+
+def test_jsonld_context_shape():
+    """@context record must match linkedConnectionsContext() exactly
+    (lib/gtfs2connections.js:317-333) — key set AND order."""
+    ctx = sinks.JSONLD_CONTEXT["@context"]
+    assert list(ctx) == [
+        "lc", "gtfs", "xsd", "trip", "Connection", "CancelledConnection",
+        "departureTime", "departureStop", "arrivalStop", "arrivalTime",
+    ]
+    assert ctx["trip"] == {"@type": "@id", "@id": "gtfs:trip"}
+    assert ctx["departureTime"] == {"@type": "xsd:dateTime", "@id": "lc:departureTime"}
 
 
 def test_message_counter(connections):
@@ -58,6 +87,112 @@ def test_ntriples_lines(connections):
         assert r.line.endswith(" .")
     typed = [r.line for r in lines if "departureTime" in r.line]
     assert all('^^<http://www.w3.org/2001/XMLSchema#dateTime>' in ln for ln in typed)
+
+
+def _parse_turtle_messages(text: str):
+    """Minimal Turtle message-log parser for the test invariant
+    (mirrors test/resultStream.test.js:26-46): returns (prefixes,
+    messages) where each message is a list of (subj, pred, obj)."""
+    import re
+
+    prefixes, messages = {}, []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("@version"):
+            continue
+        m = re.match(r"@prefix (\w+): <([^>]+)> \.$", line)
+        if m:
+            prefixes[m.group(1)] = m.group(2)
+            continue
+        assert line.endswith(" ."), line
+        body = line[:-2]
+        # split on ' ; ' outside quoted literals
+        parts, cur, inq, esc, i = [], [], False, False, 0
+        while i < len(body):
+            ch = body[i]
+            if inq:
+                cur.append(ch)
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == '"':
+                    inq = False
+            elif ch == '"':
+                inq = True
+                cur.append(ch)
+            elif body[i : i + 3] == " ; ":
+                parts.append("".join(cur))
+                cur = []
+                i += 2
+            else:
+                cur.append(ch)
+            i += 1
+        parts.append("".join(cur))
+        subj, first_po = parts[0].split(" ", 1)
+        quads = []
+        for po in [first_po] + parts[1:]:
+            pred, obj = po.split(" ", 1)
+            quads.append((subj, pred, obj))
+        messages.append(quads)
+    return prefixes, messages
+
+
+def test_turtle_messages(connections):
+    """Reference invariants (test/resultStream.test.js:65-78): output
+    parses as Turtle messages; some message asserts rdf:type
+    lc:Connection; EVERY message describes exactly one subject."""
+    sample = connections.where(F.col("trip_id").isin("AAMV1", "CITY1")).limit(200)
+    lines = [r.line for r in sinks.turtle_message_lines(sample).collect()]
+    text = sinks.turtle_header() + "\n" + "\n".join(lines)
+    assert text.splitlines()[0] == '@version "1.2-messages" .'
+    prefixes, messages = _parse_turtle_messages(text)
+    assert prefixes == {
+        "lc": "http://semweb.mmlab.be/ns/linkedconnections#",
+        "gtfs": "http://vocab.gtfs.org/terms#",
+        "xsd": "http://www.w3.org/2001/XMLSchema#",
+    }
+    assert len(messages) == len(lines)
+    assert any(
+        pred == "a" and obj == "lc:Connection"
+        for msg in messages
+        for (_, pred, obj) in msg
+    )
+    for msg in messages:
+        assert len(msg) > 0
+        assert len({s for (s, _, _) in msg}) == 1
+        # quad order mirrors Connections2Triples.js:31-99
+        preds = [p for (_, p, _) in msg]
+        assert preds[:7] == [
+            "a", "lc:departureStop", "lc:arrivalStop", "lc:departureTime",
+            "lc:arrivalTime", "gtfs:trip", "gtfs:route",
+        ]
+        for _, pred, obj in msg:
+            if pred in ("lc:departureTime", "lc:arrivalTime"):
+                assert obj.endswith('"^^xsd:dateTime') and obj.startswith('"')
+            if pred in ("gtfs:pickupType", "gtfs:dropOffType"):
+                assert obj.startswith("gtfs:")
+
+
+def test_turtle_escaping(spark):
+    """Literal escaping: quotes/backslashes in headsigns must survive a
+    Turtle round-trip."""
+    from gtfs2lc_spark.uris import ConnectionColumns, URIStrategy
+
+    df = spark.createDataFrame(
+        [("F1", 'say "hi" \\ there', "T1", "R1", "A", "B",
+          "2007-01-01 07:00:00", "2007-01-01 07:10:00", "2007-01-01 07:00:00", "", "")],
+        'feed_id string, headsign string, trip_trip_id string, route_route_id string, '
+        "dep_stop_id string, arr_stop_id string, departure_ts string, arrival_ts string, "
+        "trip_start_ts string, pickup_type string, drop_off_type string",
+    ).withColumn("trip_trip_headsign", F.lit("")) \
+     .withColumn("departure_ts", F.to_timestamp("departure_ts")) \
+     .withColumn("arrival_ts", F.to_timestamp("arrival_ts")) \
+     .withColumn("trip_start_ts", F.to_timestamp("trip_start_ts"))
+    line = sinks.turtle_message_lines(df, URIStrategy(cc=ConnectionColumns())).first().line
+    _, messages = _parse_turtle_messages(line)
+    (subj, pred, obj) = [q for q in messages[0] if q[1] == "gtfs:headsign"][0]
+    assert obj == '"say \\"hi\\" \\\\ there"^^xsd:string'
 
 
 def test_jsonld_lines_with_next_connection(spark, jsonld):
