@@ -259,13 +259,21 @@ def _q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gate config pins hash_fn='md5' (portable_hash32) so the DuckDB
+    # oracle recomputes identical signatures; production default stays
+    # xxhash64 (JVM-native)
     d = _load(spark, sf_dir, "documents")
-    return dedup.minhash_near_duplicates(d, threshold=0.5).orderBy("id_a", "id_b")
+    return dedup.minhash_near_duplicates(
+        d, threshold=0.5, hash_fn="md5"
+    ).orderBy("id_a", "id_b")
 
 
 def _q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable 60-bit simhash (15-bit bands) — oracle-reproducible
     d = _load(spark, sf_dir, "documents")
-    return dedup.simhash_candidates(d).where(F.col("hamming") <= 12)
+    return dedup.simhash_candidates(d, band_bits=15, hash_fn="md5").where(
+        F.col("hamming") <= 12
+    )
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,8 +304,11 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir, "embeddings")
     # 0.15 on random embeddings yields a non-trivial pair set — a real
     # value check, not an empty-vs-empty match (production near-dup
-    # would use ~0.95)
-    return similarity.embedding_near_duplicates(e, threshold=0.15)
+    # would use ~0.95). Scale path: multi-table LSH blocking (no
+    # all-pairs join); the oracle mirrors the deterministic planes.
+    return similarity.embedding_near_duplicates(
+        e, threshold=0.15, dim=64, n_planes=6, n_tables=4, seed=7
+    )
 
 
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,7 +324,7 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = multimodal.decode_image_features(d, "blob", fake=True)
     return out.select("doc_id", F.round(F.element_at("features", 1), 6).alias("f0"),
-                      F.size("features").alias("dim"))
+                      F.size("features").cast("long").alias("dim"))
 
 
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -380,6 +391,158 @@ list_distinct(list_transform(
   range(1, greatest(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) - 2, 0) + 1),
   i -> array_to_string(list_slice(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''), i, i + 2), ' ')))
 """
+
+# DuckDB replicas of dedup.portable_hash32/portable_hash60
+_DUCK_H32 = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+_DUCK_H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
+def _duck_dot(vexpr: str, plane: list[float]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+    return (
+        f"list_sum(list_transform(list_zip({vexpr}, {lit}),"
+        f" p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _duck_bucket(vexpr: str, planes: list[list[float]]) -> str:
+    """similarity.lsh_bucket mirrored: bit p = sign of <v, plane_p>."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {_duck_dot(vexpr, pl)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    ) + ")"
+
+
+def _sql_minhash_neardup(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> str:
+    """Mirror of dedup.minhash_near_duplicates(hash_fn='md5'): same
+    shingles, same (a,b) permutation literals, same sentinel, band
+    equality on the signature slice itself (equal tuples <=> equal
+    xxhash64 band keys on the Spark side)."""
+    params = dedup.minhash_params(num_perm, 42)
+    rows = num_perm // bands
+    sig = ",\n          ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a}*h + {b}) % 4294967311)), 4294967311)"
+        for a, b in params
+    )
+    jac = """round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+            THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh)))
+            ELSE CAST(0 AS DOUBLE) END, 6)"""
+    return f"""
+        WITH sh AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents),
+        hs AS (SELECT id, sh, list_transform(sh, s -> {_DUCK_H32.format(s='s')}) AS hs FROM sh),
+        sigs AS (SELECT id, [{sig}] AS sig FROM hs),
+        bands AS (
+          SELECT id, b, list_slice(sig, b*{rows}+1, b*{rows}+{rows}) AS bv
+          FROM sigs CROSS JOIN (SELECT unnest(range({bands})) AS b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, c.id AS id_b
+          FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.id < c.id
+        ),
+        scored AS (
+          SELECT id_a, id_b, {jac} AS jaccard
+          FROM cand JOIN sh x ON x.id = id_a JOIN sh y ON y.id = id_b
+        )
+        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+def _sql_simhash_candidates(bits: int = 60, band_bits: int = 15, max_hamming: int = 12) -> str:
+    """Mirror of dedup.simhash_candidates(hash_fn='md5', band_bits=15)."""
+    nbands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    bit_terms = "\n            + ".join(
+        f"(CASE WHEN 2*list_sum(list_transform(hh, h -> (h >> {j}) & 1)) > n"
+        f" THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS tk
+          FROM documents
+        ),
+        hs AS (
+          SELECT id, list_transform(tk, t -> {_DUCK_H60.format(s='t')}) AS hh,
+                 len(tk) AS n
+          FROM toks
+        ),
+        sh AS (SELECT id, ({bit_terms}) AS sh FROM hs),
+        bands AS (
+          SELECT id, sh, b, (sh >> (b*{band_bits})) & {mask} AS bh
+          FROM sh CROSS JOIN (SELECT unnest(range({nbands})) AS b)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+                 CAST(bit_count(xor(a.sh, c.sh)) AS BIGINT) AS hamming
+          FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.id < c.id
+        )
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+def _sql_ann_lsh_topk(k: int = 3, n_planes: int = 8, seed: int = 7, dim: int = 64) -> str:
+    """Mirror of similarity.lsh_topk(n_planes=8, n_probes=1): identical
+    deterministic hyperplane literals, bucket equi-join, exact cosine
+    within bucket."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    bucket = _duck_bucket("embedding", planes)
+    return f"""
+        WITH c AS (
+          SELECT vec_id AS neighbor_id, embedding AS cvec, {bucket} AS bucket
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qvec, {bucket} AS bucket
+          FROM embeddings WHERE vec_id < 20
+        ),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 round({_DUCK_COS.format(a='qvec', b='cvec')}, 6) AS cosine
+          FROM q JOIN c USING (bucket)
+          WHERE query_id <> neighbor_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _sql_embedding_neardup(
+    threshold: float = 0.15, n_planes: int = 6, n_tables: int = 4,
+    seed: int = 7, dim: int = 64,
+) -> str:
+    """Mirror of similarity.embedding_near_duplicates (LSH-blocked):
+    same per-table plane literals, candidates only within (table,
+    bucket), exact cosine verify."""
+    tables = [similarity.hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    union = "\n          UNION ALL\n          ".join(
+        f"SELECT id, v, {t} AS t, {_duck_bucket('v', planes)} AS b FROM v"
+        for t, planes in enumerate(tables)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        tb AS (
+          {union}
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, c.id AS id_b
+          FROM tb a JOIN tb c ON a.t = c.t AND a.b = c.b AND a.id < c.id
+        ),
+        scored AS (
+          SELECT id_a, id_b,
+                 round({_DUCK_COS.format(a='x.v', b='y.v')}, 6) AS cosine
+          FROM cand JOIN v x ON x.id = id_a JOIN v y ON y.id = id_b
+        )
+        SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -556,11 +719,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
         """,
-        "embedding_neardup": f"""
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              round({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.15
+        "embedding_neardup": _sql_embedding_neardup(),
+        "minhash_neardup": _sql_minhash_neardup(),
+        "simhash_candidates": _sql_simhash_candidates(),
+        "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "multimodal_features": """
+            SELECT doc_id,
+                   round(CAST(('0x' || substr(sha256(text), 1, 2))::BIGINT AS DOUBLE)
+                         / 255.0, 6) AS f0,
+                   CAST(8 AS BIGINT) AS dim
+            FROM documents
         """,
         "multimodal_metadata": """
             SELECT doc_id,

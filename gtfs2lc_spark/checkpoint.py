@@ -70,9 +70,13 @@ class HistoryStore:
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
 
-    def load(self) -> DataFrame | None:
-        """Union of all committed snapshots; None when empty."""
+    def load(self, before_snapshot: int | None = None) -> DataFrame | None:
+        """Union of committed snapshots (optionally only those with id <
+        ``before_snapshot`` — the streaming replay-determinism bound);
+        None when empty."""
         snaps = self.snapshots()
+        if before_snapshot is not None:
+            snaps = [s for s in snaps if s < before_snapshot]
         if not snaps:
             return None
         paths = [os.path.join(self.path, f"snapshot={s}") for s in snaps]
@@ -80,22 +84,41 @@ class HistoryStore:
 
     # -- the J7 operators ------------------------------------------------------
 
-    def differential(self, connections: DataFrame) -> DataFrame:
+    def differential(
+        self, connections: DataFrame, before_snapshot: int | None = None
+    ) -> DataFrame:
         """Emit only connections whose (feed_id, unique_id, service_date)
         is not in history — the reference's per-rule date filter
-        (st2c.js:149-164) as one left_anti join."""
-        hist = self.load()
+        (st2c.js:149-164) as one left_anti join.
+
+        ``before_snapshot`` restricts the history side to snapshots
+        committed for EARLIER batches: a replayed streaming batch then
+        recomputes exactly its original delta even if its own commit
+        already landed (exactly-once output, streaming.py)."""
+        hist = self.load(before_snapshot)
         if hist is None:
             return connections
         return connections.join(hist, list(PAIR_COLS), "left_anti")
 
-    def commit(self, new_pairs: DataFrame, run_info: dict | None = None) -> SnapshotInfo:
+    def commit(
+        self,
+        new_pairs: DataFrame,
+        run_info: dict | None = None,
+        snapshot_id: int | None = None,
+    ) -> SnapshotInfo:
         """Append this run's newly-emitted pairs as the next snapshot,
         with per-partition lineage metrics beside the data. The metrics
         file doubles as the commit marker: a killed run leaves an
-        uncommitted (ignored) directory, so resume never double-counts."""
-        snaps = self.snapshots()
-        sid = (snaps[-1] + 1) if snaps else 0
+        uncommitted (ignored) directory, so resume never double-counts.
+
+        An explicit ``snapshot_id`` (streaming: the micro-batch id) makes
+        the commit IDEMPOTENT — a replayed batch overwrites its own
+        snapshot with identical content instead of appending a new one."""
+        if snapshot_id is None:
+            snaps = self.snapshots()
+            sid = (snaps[-1] + 1) if snaps else 0
+        else:
+            sid = snapshot_id
         snap_dir = os.path.join(self.path, f"snapshot={sid}")
         pairs = new_pairs.select(*PAIR_COLS).distinct()
         pairs.write.mode("overwrite").parquet(snap_dir)

@@ -173,10 +173,13 @@ def minhash_near_duplicates(
     num_perm: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified with exact word-
     shingle Jaccard >= threshold. Output (id_a, id_b, jaccard)."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, num_perm, bands, shingle_k)
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, num_perm, bands, shingle_k, hash_fn=hash_fn
+    )
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
@@ -213,17 +216,26 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text: Column, seed: int = 42) -> Column:
-    """64-bit SimHash over word tokens, pure array expressions.
+def simhash64(
+    text: Column, seed: int = 42, hash_fn: str = "xxhash64", bits: int = 64
+) -> Column:
+    """``bits``-wide SimHash over word tokens, pure array expressions.
 
     bit_j(doc) = sign of sum over tokens of (+1 if bit j of
-    xxhash64(token) else -1). Computed as: for each bit j, count of
+    hash(token) else -1). Computed as: for each bit j, count of
     set bits minus half the token count.
+
+    ``hash_fn='md5'`` uses the 60-bit portable hash (so ``bits`` must be
+    <= 60) — every bit is then reproducible in the DuckDB oracle.
     """
     toks = F.filter(tokens(text), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    if hash_fn == "md5":
+        assert bits <= 60, "portable hash is 60-bit"
+        hashes = F.transform(toks, lambda t: portable_hash60(t))
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
     n = F.size(hashes)
-    bits = [
+    bits_cols = [
         (
             F.aggregate(
                 hashes,
@@ -233,10 +245,10 @@ def simhash64(text: Column, seed: int = 42) -> Column:
             * 2
             > n
         ).cast("long")
-        for j in range(64)
+        for j in range(bits)
     ]
     out = F.lit(0).cast("long")
-    for j, bit in enumerate(bits):
+    for j, bit in enumerate(bits_cols):
         out = out + F.shiftleft(bit, j)
     return out
 
@@ -246,11 +258,19 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_bits: int = 16,
+    hash_fn: str = "xxhash64",
+    bits: int = 64,
 ) -> DataFrame:
-    """SimHash near-dup candidates: docs sharing any 16-bit band of the
-    64-bit simhash (Hamming-distance blocking). Output pairs + hamming."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
-    nbands = 64 // band_bits
+    """SimHash near-dup candidates: docs sharing any ``band_bits``-bit
+    band of the ``bits``-bit simhash (Hamming-distance blocking).
+    Output pairs + hamming."""
+    if hash_fn == "md5":
+        bits = min(bits, 60)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col), hash_fn=hash_fn, bits=bits).alias("sh"),
+    )
+    nbands = bits // band_bits
     mask = (1 << band_bits) - 1
     banded = sh.select(
         "id",
@@ -278,7 +298,7 @@ def simhash_candidates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("long").alias("hamming"),
         )
         .distinct()
     )

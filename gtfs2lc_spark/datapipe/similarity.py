@@ -221,17 +221,74 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 7,
+    exact: bool = False,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (id_a < id_b). Small-corpus
-    exact form; at scale, feed lsh bucket ids as a blocking key first."""
+    """Near-duplicate pairs with cosine >= threshold (id_a < id_b).
+
+    Default (scale) path: multi-table hyperplane-LSH blocking — each
+    vector is hashed into ``n_tables`` independent sign-signature
+    buckets (one narrow codegen'd pass, explode x n_tables), candidate
+    pairs come from EQUI-joins within (table, bucket) only, then exact
+    cosine verifies. Recall for pairs at angle θ is
+    1-(1-(1-θ/π)^n_planes)^n_tables (≈0.997 at cosine 0.98 with 6
+    planes x 4 tables); the planes are deterministic, so the gate
+    oracle replicates the candidate set exactly. NO all-pairs join
+    exists in this plan (asserted by tests/test_plans.py).
+
+    ``exact=True`` keeps the O(n²) all-pairs form — only for small
+    corpora or recall measurement.
+    """
     v = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    a, b = v.alias("a"), v.alias("b")
+    if exact:
+        a, b = v.alias("a"), v.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    buckets = v.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(F.col("v"), planes).alias("b"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "tb.t", "tb.b")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        cands.join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

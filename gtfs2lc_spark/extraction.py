@@ -121,6 +121,14 @@ def extract_entities(
     detected = detect_pages(pages, detect_partitions)
     if persist:
         detected = detected.localCheckpoint(eager=True)
+    return entities_from_detected(detected)
+
+
+def entities_from_detected(detected: DataFrame) -> dict[str, DataFrame]:
+    """Detected pages (url, gtfs_file, feed_id, header, body) -> entity
+    DataFrames. Pure JVM stage (split/explode/from_csv) — reusable over
+    a staged detected-pages table (streaming) as well as fresh
+    detection output."""
     out: dict[str, DataFrame] = {}
     for fname, cols in GTFS_FILE_COLS.items():
         canonical_header = ",".join(cols)

@@ -5,30 +5,50 @@ The reference is strictly batch (SURVEY.md §2.7) — this is the Spark-
 native extension a continuously-crawled corpus needs. Shape:
 
     readStream(pages dir) ──▶ foreachBatch:
-        extraction.extract_entities(batch)      (pure fn of text)
+        detect_pages(batch)                     (pandas-UDF, batch only)
+        stage detected pages                    (staging/batch=N, overwrite)
+        entities_from_detected(staged ∪)        (ALL staged pages of the
+                                                 feeds touched this batch)
         pipeline.convert(...)                   (same batch algebra)
-        HistoryStore.differential + commit      (exactly-once-ish:
-                                                 snapshot commit marker
-                                                 + idempotent anti-join)
-        append delta to the output sink
+        HistoryStore.differential(< batch N)    (delta vs earlier batches)
+        write delta                             (output/batch=N, overwrite)
+        HistoryStore.commit(snapshot_id = N)
 
-foreachBatch (not a continuous stateful query) is the right primitive
-here: every micro-batch carries WHOLE GTFS files (a page is a complete
-file), so no cross-batch stream state is needed — cross-RUN dedup is
-the history store's job, and it already survives kills (commit marker).
-A page that never arrives simply contributes nothing; late pages are
-new deltas. Trigger availableNow gives catch-up batch semantics; a
-processingTime trigger gives a live tail.
+Why stage-and-reconvert instead of converting each batch in isolation:
+a feed spans 4-6 GTFS files, and the file source (maxFilesPerTrigger)
+can split them across micro-batches — converting only the batch's pages
+would silently drop stop_times whose trips/stops/calendar pages arrive
+in another batch, and the source never re-reads files. Staging the
+(tiny, post-detection) pages and reconverting the feeds *touched by
+this batch* makes late-arriving entity pages retroactively productive:
+the history anti-join emits exactly the connections that became newly
+derivable. Per-trigger cost is proportional to the touched feeds, not
+the corpus (feed_id predicate pushdown on the staging parquet; at real
+scale the staging table would be bucketed by feed_id).
+
+Exactly-once output, including mid-batch crashes: every effect of batch
+N is keyed by N with overwrite semantics —
+
+- staging/batch=N        (overwrite: replay re-stages identical rows)
+- output/batch=N         (overwrite: replay rewrites, never appends)
+- history snapshot=N     (overwrite commit marker last)
+
+and the delta is computed against history snapshots with id < N only,
+so a replayed batch reproduces its original delta byte-for-byte even
+when its own history commit already landed. A crash at ANY point
+between effects therefore converges on replay (tested by
+tests/test_streaming.py::test_crash_between_output_and_commit).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from . import pipeline, sinks
 from .checkpoint import HistoryStore
-from .extraction import extract_entities
+from .extraction import detect_pages, entities_from_detected
 from .schemas import PAGES_SCHEMA
 
 
@@ -40,42 +60,68 @@ def read_pages_stream(spark: SparkSession, pages_dir: str) -> DataFrame:
     )
 
 
+def process_pages_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    store: HistoryStore,
+    staging_dir: str,
+    output_dir: str,
+    feed_tz: str = "Europe/Brussels",
+    salt_n: int | None = 16,
+) -> None:
+    """One idempotent micro-batch step (see module docstring). Public so
+    tests can drive crash/replay scenarios without a streaming query."""
+    if batch.isEmpty():
+        return
+    detected = detect_pages(batch).localCheckpoint(eager=True)
+    feeds = [r.feed_id for r in detected.select("feed_id").distinct().collect()]
+    detected.write.mode("overwrite").parquet(f"{staging_dir}/batch={batch_id}")
+    if not feeds:
+        return
+    staged = (
+        spark.read.parquet(staging_dir)
+        .where(F.col("feed_id").isin(feeds))
+        .drop("batch")
+    )
+    e = entities_from_detected(staged)
+    conns = pipeline.convert(
+        e["stop_times"], e["trips"], e["routes"], e["stops"],
+        e["calendar"], e["calendar_dates"],
+        feed_tz=feed_tz, salt_n=salt_n,
+    )
+    delta = store.differential(conns, before_snapshot=batch_id)
+    # persist: consumed twice (output + history commit)
+    delta = delta.localCheckpoint(eager=True)
+    sinks.jsonld_lines(sinks.connections_to_jsonld(delta)).write.mode(
+        "overwrite"
+    ).text(f"{output_dir}/batch={batch_id}")
+    store.commit(
+        delta, run_info={"stream_batch_id": batch_id}, snapshot_id=batch_id
+    )
+
+
 def start_incremental_conversion(
     spark: SparkSession,
     pages_dir: str,
     output_dir: str,
     history_dir: str,
     stream_checkpoint_dir: str,
+    staging_dir: str | None = None,
     feed_tz: str = "Europe/Brussels",
     salt_n: int | None = 16,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Stream pages -> append newly-discovered connection JSON-LD lines.
-
-    Exactly-once story: Spark's streaming checkpoint makes each source
-    file processed once per query; the history store's anti-join makes
-    REPROCESSING idempotent (a replayed batch emits an empty delta), so
-    a crash between batch output and stream-checkpoint commit cannot
-    double-emit.
-    """
+    """Stream pages -> append newly-discovered connection JSON-LD lines
+    under ``output_dir/batch=N`` (read them with a ``batch=*`` glob)."""
     store = HistoryStore(spark, history_dir)
+    staging_dir = staging_dir or f"{stream_checkpoint_dir}_staging"
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        e = extract_entities(batch)
-        conns = pipeline.convert(
-            e["stop_times"], e["trips"], e["routes"], e["stops"],
-            e["calendar"], e["calendar_dates"],
+        process_pages_batch(
+            spark, batch, batch_id, store, staging_dir, output_dir,
             feed_tz=feed_tz, salt_n=salt_n,
         )
-        delta = store.differential(conns)
-        # persist: consumed twice (output + history commit)
-        delta = delta.localCheckpoint(eager=True)
-        sinks.jsonld_lines(sinks.connections_to_jsonld(delta)).write.mode(
-            "append"
-        ).text(output_dir)
-        store.commit(delta, run_info={"stream_batch_id": batch_id})
 
     writer = (
         read_pages_stream(spark, pages_dir)

@@ -152,6 +152,55 @@ def test_embedding_neardup(vecs):
     assert (0, 100) in got and (0, 101) in got and (100, 101) in got
 
 
+def test_embedding_neardup_blocked_recall(spark):
+    """The LSH-blocked near-dup (default path) vs the exact all-pairs
+    form on structured near-duplicates: verified subset (no false
+    positives possible — exact cosine verify) and high recall."""
+    import random
+
+    rng = random.Random(1)
+    rows = []
+    for i in range(30):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        rows.append((1000 + i, [x + rng.gauss(0, 0.02) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(
+            df, threshold=0.98, exact=True
+        ).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(
+            df, threshold=0.98, dim=16, n_planes=6, n_tables=4
+        ).collect()
+    }
+    assert blocked <= exact
+    assert len(exact) >= 30
+    recall = len(blocked & exact) / len(exact)
+    print(f"\nblocked near-dup recall (6 planes x 4 tables): {recall:.3f}")
+    assert recall >= 0.9
+
+
+def test_minhash_portable_hash_agrees(docs):
+    """hash_fn='md5' (gate config) finds the same near-dup pairs as the
+    xxhash64 production default at a solid threshold — the hash choice
+    changes bucket keys, not Jaccard verification."""
+    prod = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.6).collect()
+    }
+    portable = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_duplicates(
+            docs, threshold=0.6, hash_fn="md5"
+        ).collect()
+    }
+    assert prod == portable and prod
+
+
 def test_lsh_recall_vs_brute_force(spark):
     """ANN quality metric: recall@3 of the LSH path against the exact
     baseline on the sf0.001 embeddings table. Random gaussian embeddings
