@@ -4,8 +4,10 @@
    "queries": {name: sec, ...}, "sf": ...}
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_FEEDS (default 120 replicated
-sample feeds ≈ 416k connections ≈ 3.6M triples).
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_FEEDS (default 720 replicated
+sample feeds ≈ 2.5M connections ≈ 21.6M triples — the exact BASELINE.md
+local[32] capability configuration), SPARK_GRAFT_REPS (default 4,
+best-of — co-tenant noise defense).
 
 All queries force full materialization via the noop datasource (count()
 would let Catalyst prune the projection work we want to measure).
@@ -20,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from gtfs2lc_spark import extraction, fixtures, pipeline, sinks  # noqa: E402
+from gtfs2lc_spark import extraction, fixtures, pipeline, postprocess, sinks  # noqa: E402
 from gtfs2lc_spark.session import build_session  # noqa: E402
 
 TRIPLES_PER_FEED = 29992  # measured & oracle-verified (tests/test_pipeline_e2e.py)
@@ -33,8 +35,8 @@ def _force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_feeds = int(os.environ.get("SPARK_GRAFT_FEEDS", "480"))
-    pipeline_reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    n_feeds = int(os.environ.get("SPARK_GRAFT_FEEDS", "720"))
+    pipeline_reps = int(os.environ.get("SPARK_GRAFT_REPS", "4"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 
     spark = build_session(
@@ -84,6 +86,26 @@ def main() -> None:
         reps.append(round(time.perf_counter() - t0, 3))
     timings["gtfs_pipeline_triples"] = min(reps)
 
+    # J8/J9 post-processor (movement merge + nextConnection linking +
+    # final 6-key sort) over the jsonld of a feed subset; the input is
+    # localCheckpointed so the timing isolates the post-processor
+    pp_feeds = min(n_feeds, 60)
+    ep = extraction.extract_entities(
+        fixtures.pages_df_scaled(spark, pp_feeds, noise_pages=0, n_partitions=cpus)
+    )
+    jl = sinks.connections_to_jsonld(
+        pipeline.convert(
+            ep["stop_times"], ep["trips"], ep["routes"], ep["stops"],
+            ep["calendar"], ep["calendar_dates"], salt_n=64,
+        )
+    ).drop("feed_id", "type", "departure_ts", "arrival_ts").localCheckpoint(eager=True)
+    pp_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(postprocess.join_and_sort(jl))
+        pp_runs.append(round(time.perf_counter() - t0, 3))
+    timings["j8_j9_join_and_sort"] = min(pp_runs)
+
     qs = entry_mod.queries()
     for name in (
         "w1_lag_pairs",
@@ -115,6 +137,7 @@ def main() -> None:
                 "total_triples": total_triples,
                 "cpus": cpus,
                 "pipeline_runs_sec": reps,
+                "join_and_sort_feeds": pp_feeds,
             }
         )
     )

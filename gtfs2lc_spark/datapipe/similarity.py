@@ -149,6 +149,49 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means for IVF coarse quantization.
+
+    Init = the ``n_centroids`` lowest-id vectors (reproducible, no RNG);
+    each iteration is one narrow codegen'd assignment pass (cosine to
+    centroid literals) + one groupBy-k aggregation of per-dimension
+    means (map-side partial agg: only k x dim partials ever shuffle).
+    The driver holds k x dim floats — never corpus rows. Empty clusters
+    keep their previous centroid.
+    """
+    first = corpus.select(vec_col).orderBy(id_col).take(n_centroids)
+    cents = [[float(x) for x in r[0]] for r in first]
+    dim = len(cents[0])
+    v = corpus.select(as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        scores = F.array(
+            *[
+                F.struct(
+                    cosine(F.col("v"), F.array(*[F.lit(x) for x in c])).alias("s"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, c in enumerate(cents)
+            ]
+        )
+        assigned = v.withColumn("cluster", F.array_max(scores)["c"])
+        means = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.element_at("v", i + 1)).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in means:
+            new_cents[r["cluster"]] = [float(r[f"m{i}"]) for i in range(dim)]
+        cents = new_cents
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -157,22 +200,32 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_init: str = "first",
+    kmeans_iters: int = 3,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: corpus partitioned into inverted
     lists by nearest centroid; queries probe only their ``n_probe``
     closest lists, then score exactly within them.
 
-    Centroids are the ``n_centroids`` lowest-id vectors — deterministic
-    and engine-reproducible (the oracle recomputes the same assignment),
-    which matters more here than centroid quality; swap in k-means
-    centroids for production recall. Scale shape: centroids broadcast as
-    literals; corpus assignment is one narrow codegen'd pass; only
-    list-local candidates are ever scored.
+    ``centroid_init='first'`` (the gate config) takes the
+    ``n_centroids`` lowest-id vectors — deterministic AND
+    engine-reproducible, so the DuckDB oracle recomputes the identical
+    assignment. ``centroid_init='kmeans'`` (production default quality)
+    runs ``kmeans_iters`` deterministic Lloyd rounds on top of that init
+    — still fully reproducible (no RNG), verified by recall bounds in
+    tests/test_datapipe.py rather than a SQL oracle (mirroring Lloyd
+    float means in SQL would be rounding-fragile). Scale shape:
+    centroids broadcast as literals; corpus assignment is one narrow
+    codegen'd pass; only list-local candidates are ever scored.
     """
-    cents = [
-        (r[0], [float(x) for x in r[1]])
-        for r in corpus.select(id_col, vec_col).orderBy(id_col).take(n_centroids)
-    ]
+    if centroid_init == "kmeans":
+        cvecs = kmeans_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+        cents = list(enumerate(cvecs))
+    else:
+        cents = [
+            (r[0], [float(x) for x in r[1]])
+            for r in corpus.select(id_col, vec_col).orderBy(id_col).take(n_centroids)
+        ]
 
     def scores(vec: Column) -> Column:
         return F.array(

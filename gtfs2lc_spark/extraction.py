@@ -52,8 +52,15 @@ def detect_gtfs(text: pd.Series) -> pd.DataFrame:
     """Vectorized detector: marker line -> (gtfs_file, feed_id, header, body).
 
     Pure function of ``text``; non-matching pages yield all-null.
+    CRLF/CR line endings are normalized to LF first — real-world GTFS
+    CSVs are frequently CRLF, and a trailing '\\r' on the header line
+    must not defeat header matching (the reference's fast-csv handles
+    both endings transparently).
     """
     text = text.fillna("")
+    text = text.str.replace("\r\n", "\n", regex=False).str.replace(
+        "\r", "\n", regex=False
+    )
     head = text.str.partition("\n")
     marker, rest = head[0], head[2]
     m = marker.str.extract(_MARKER_RE)
@@ -124,31 +131,117 @@ def extract_entities(
     return entities_from_detected(detected)
 
 
+# the pipeline cannot make a row meaningful without these (the reference
+# crashes on their absence — LevelDB .get on undefined keys); headers
+# missing any of them are rejected and COUNTED (ADVICE r1)
+REQUIRED_COLS: dict[str, set[str]] = {
+    "stop_times.txt": {"trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence"},
+    "trips.txt": {"trip_id", "route_id", "service_id"},
+    "routes.txt": {"route_id"},
+    "stops.txt": {"stop_id"},
+    "calendar.txt": {"service_id", "start_date", "end_date"},
+    "calendar_dates.txt": {"service_id", "date", "exception_type"},
+}
+
+
+def _parse_header(header: str) -> list[str]:
+    """CSV-parse one header line; strip BOM/whitespace; de-dup repeated
+    names (first occurrence wins, later ones renamed so the row schema
+    stays addressable)."""
+    import csv
+    import io
+
+    raw = next(csv.reader(io.StringIO(header.lstrip("﻿"))), [])
+    seen: dict[str, int] = {}
+    cols = []
+    for c in raw:
+        c = c.strip()
+        if c in seen:
+            seen[c] += 1
+            c = f"{c}__dup{seen[c]}"
+        else:
+            seen[c] = 0
+        cols.append(c)
+    return cols
+
+
 def entities_from_detected(detected: DataFrame) -> dict[str, DataFrame]:
     """Detected pages (url, gtfs_file, feed_id, header, body) -> entity
-    DataFrames. Pure JVM stage (split/explode/from_csv) — reusable over
-    a staged detected-pages table (streaming) as well as fresh
-    detection output."""
+    DataFrames with the CANONICAL all-string schema. Pure JVM stage
+    (split/explode/from_csv) — reusable over a staged detected-pages
+    table (streaming) as well as fresh detection output.
+
+    Columns are mapped BY NAME per distinct header (fast-csv
+    ``headers: true`` semantics, lib/stores/StoreManager.js:38-41):
+    reordered or extra columns are fine, canonical columns absent from a
+    header are filled with '' (the reference's undefined -> our _blank).
+    Headers missing a REQUIRED_COLS key are rejected — and counted, via
+    a warning log with per-header page counts (the distinct-header set
+    is tiny and driver-sized; the page bodies never move)."""
+    import logging
+
+    hdr_rows = detected.select("gtfs_file", "header").distinct().collect()
+    headers: dict[str, list[str]] = {}
+    for r in hdr_rows:
+        if r.gtfs_file in GTFS_FILE_COLS and r.header is not None:
+            headers.setdefault(r.gtfs_file, []).append(r.header)
+
     out: dict[str, DataFrame] = {}
+    rejected: list[tuple[str, str]] = []
     for fname, cols in GTFS_FILE_COLS.items():
-        canonical_header = ",".join(cols)
-        sub = detected.where(
-            (F.col("gtfs_file") == fname) & (F.col("header") == canonical_header)
-        )
-        schema_ddl = ", ".join(f"`{c}` STRING" for c in cols)
-        lines = sub.select(
-            "feed_id",
-            "url",
-            F.explode(F.split("body", "\n")).alias("line"),
-        ).where(F.length(F.trim("line")) > 0)
-        # GTFS quoting: '"' both as quote and as the "" escape
-        # (reference: fast-csv with quote '"', StopTimes2Cxs.js:31-33)
-        parsed = lines.withColumn(
-            "r", F.from_csv("line", schema_ddl, {"quote": '"', "escape": '"'})
-        )
-        out[fname.removesuffix(".txt")] = parsed.select(
-            *[F.coalesce(F.col(f"r.{c}"), F.lit("")).alias(c) for c in cols],
-            "feed_id",
-            "url",
-        )
+        branches = []
+        for hdr in sorted(headers.get(fname, [])):
+            hcols = _parse_header(hdr)
+            if not REQUIRED_COLS[fname] <= set(hcols):
+                rejected.append((fname, hdr))
+                continue
+            sub = detected.where(
+                (F.col("gtfs_file") == fname) & (F.col("header") == hdr)
+            )
+            schema_ddl = ", ".join(f"`{c}` STRING" for c in hcols)
+            lines = sub.select(
+                "feed_id",
+                "url",
+                F.explode(F.split("body", "\n")).alias("line"),
+            ).where(F.length(F.trim("line")) > 0)
+            # GTFS quoting: '"' both as quote and as the "" escape
+            # (reference: fast-csv with quote '"', StopTimes2Cxs.js:31-33)
+            parsed = lines.withColumn(
+                "r", F.from_csv("line", schema_ddl, {"quote": '"', "escape": '"'})
+            )
+            branches.append(
+                parsed.select(
+                    *[
+                        (
+                            F.coalesce(F.col("r").getField(c), F.lit(""))
+                            if c in hcols
+                            else F.lit("")
+                        ).alias(c)
+                        for c in cols
+                    ],
+                    "feed_id",
+                    "url",
+                )
+            )
+        name = fname.removesuffix(".txt")
+        if branches:
+            df = branches[0]
+            for b in branches[1:]:
+                df = df.unionByName(b)
+            out[name] = df
+        else:
+            schema = ", ".join([f"`{c}` string" for c in cols] + ["feed_id string", "url string"])
+            out[name] = detected.sparkSession.createDataFrame([], schema)
+
+    if rejected:
+        counts = {
+            (r.gtfs_file, r.header): r["count"]
+            for r in detected.groupBy("gtfs_file", "header").count().collect()
+        }
+        for fname, hdr in rejected:
+            logging.getLogger(__name__).warning(
+                "dropped %s page(s) of %s: header missing required columns %s (header=%r)",
+                counts.get((fname, hdr), "?"), fname,
+                sorted(REQUIRED_COLS[fname] - set(_parse_header(hdr))), hdr,
+            )
     return out

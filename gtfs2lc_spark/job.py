@@ -129,7 +129,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--compressed", action="store_true",
                     help="gzip text output (S6, reference --compressed)")
     ap.add_argument("--single-file", action="store_true",
-                    help="coalesce(1) merge like the reference's worker-merge (S7)")
+                    help="driver-side shard merge like the reference's worker-merge (S7)")
+    ap.add_argument("--audit-missing-refs", action="store_true",
+                    help="count stop_times rows dropped by unresolved "
+                         "stop/trip/route keys (the reference crashes on these; "
+                         "we drop-and-count) into the run summary")
     return ap.parse_args(argv)
 
 
@@ -196,12 +200,22 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
             with open(f"{args.output}/_header.txt", "w") as f:
                 f.write(header + "\n")
 
+    quarantine = None
+    if getattr(args, "audit_missing_refs", False):
+        quarantine = [
+            {"feed_id": r.feed_id, "missing_kind": r.missing_kind, "n_rows": r.n_rows}
+            for r in pipeline.dimension_quarantine(
+                e["stop_times"], e["trips"], e["routes"], e["stops"]
+            ).collect()
+        ]
+
     # reference logs "<file> created in <ms> ms" (lib/gtfs2connections.js:95-97)
     return {
         "output": args.output,
         "format": args.format,
         "elapsed_ms": int((time.time() - t0) * 1000),
         "snapshot": snap.metrics if snap else None,
+        "missing_refs": quarantine,
     }
 
 

@@ -370,6 +370,52 @@ def rules_to_connections(
     return conns
 
 
+def dimension_quarantine(
+    stop_times: DataFrame,
+    trips: DataFrame,
+    routes: DataFrame,
+    stops: DataFrame,
+) -> DataFrame:
+    """Per-feed counts of stop_times rows whose dimension keys don't
+    resolve — the rows the inner J1-J3 joins silently drop.
+
+    The reference fails LOUDLY here (LevelDB .get rejects on a missing
+    key, st2c.js:119-132, crashing the run); a distributed engine must
+    not die on one bad feed, so we drop-and-count instead: run this
+    audit beside ``convert`` (job.py --audit-missing-refs) to surface
+    recall skew per feed. Broadcast anti-joins only — same cost shape as
+    the enrichment itself. Output: (feed_id, missing_kind, n_rows).
+    """
+    st = stop_times.select("feed_id", "stop_id", "trip_id")
+    missing_stop = st.join(
+        F.broadcast(stops.select("feed_id", "stop_id").distinct()),
+        ["feed_id", "stop_id"],
+        "left_anti",
+    ).select("feed_id", F.lit("stop").alias("missing_kind"))
+    tr = trips.select("feed_id", "trip_id", "route_id")
+    missing_trip = st.join(
+        F.broadcast(tr.select("feed_id", "trip_id").distinct()),
+        ["feed_id", "trip_id"],
+        "left_anti",
+    ).select("feed_id", F.lit("trip").alias("missing_kind"))
+    # route resolution happens via the trip row (st2c.js:123)
+    missing_route = (
+        st.join(F.broadcast(tr), ["feed_id", "trip_id"], "inner")
+        .join(
+            F.broadcast(routes.select("feed_id", "route_id").distinct()),
+            ["feed_id", "route_id"],
+            "left_anti",
+        )
+        .select("feed_id", F.lit("route").alias("missing_kind"))
+    )
+    return (
+        missing_stop.unionByName(missing_trip)
+        .unionByName(missing_route)
+        .groupBy("feed_id", "missing_kind")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def convert(
     stop_times: DataFrame,
     trips: DataFrame,

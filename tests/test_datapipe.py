@@ -152,6 +152,37 @@ def test_embedding_neardup(vecs):
     assert (0, 100) in got and (0, 101) in got and (100, 101) in got
 
 
+def test_ivf_kmeans_centroids_recall(spark):
+    """VERDICT r1 item 7: deterministic Lloyd centroids (production
+    init) must retain recall@3 >= 0.95 and never lose to the first-N
+    gate init. sf0.001 embeddings are random gaussians — the worst case
+    for IVF (no cluster structure) — and the whole computation is
+    RNG-free, so these numbers are exact and stable."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    q = e.where(F.col("vec_id") < 20)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in similarity.brute_force_topk(e, q, k=3).collect()}
+
+    def recall(init):
+        ivf = {(r.query_id, r.neighbor_id)
+               for r in similarity.ivf_topk(
+                   e, q, k=3, n_centroids=16, n_probe=6, centroid_init=init
+               ).collect()}
+        return len(bf & ivf) / len(bf)
+
+    r_first, r_kmeans = recall("first"), recall("kmeans")
+    print(f"\nivf recall@3 (16 lists, 6 probes): first={r_first:.3f} kmeans={r_kmeans:.3f}")
+    assert r_kmeans >= r_first
+    assert r_kmeans >= 0.95
+
+    # determinism: two runs produce identical centroids
+    c1 = similarity.kmeans_centroids(e, n_centroids=8, iters=2)
+    c2 = similarity.kmeans_centroids(e, n_centroids=8, iters=2)
+    assert c1 == c2
+
+
 def test_embedding_neardup_blocked_recall(spark):
     """The LSH-blocked near-dup (default path) vs the exact all-pairs
     form on structured near-duplicates: verified subset (no false

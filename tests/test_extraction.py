@@ -94,3 +94,58 @@ def test_multi_feed_scoping(spark):
         "samplefeed-0": fixtures.SAMPLE_FEED_CONNECTIONS,
         "samplefeed-1": fixtures.SAMPLE_FEED_CONNECTIONS,
     }
+
+
+def _page(spark, url, text):
+    return spark.createDataFrame(
+        [(url, None, None, text, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def test_crlf_pages_extract(spark):
+    """CRLF bodies and a '\r'-terminated header line must not defeat
+    extraction (ADVICE r1)."""
+    text = (
+        "#gtfs-file: stops.txt feed=crlf\r\n"
+        "stop_id,stop_code,stop_name,stop_desc,stop_lat,stop_lon,zone_id,stop_url\r\n"
+        "S1,,Alpha,,1.0,2.0,,\r\n"
+        "S2,,Beta,,3.0,4.0,,\r\n"
+    )
+    e = extraction.extract_entities(_page(spark, "http://x/crlf", text))
+    rows = {r.stop_id: r.stop_name for r in e["stops"].collect()}
+    assert rows == {"S1": "Alpha", "S2": "Beta"}
+
+
+def test_header_mapped_by_name(spark):
+    """Reordered + extra columns map by name (fast-csv headers:true
+    semantics); canonical columns absent from the header fill ''."""
+    text = (
+        "#gtfs-file: stops.txt feed=reorder\n"
+        "stop_name,stop_id,wheelchair_boarding\n"
+        "Gamma,S9,1\n"
+    )
+    e = extraction.extract_entities(_page(spark, "http://x/reorder", text))
+    row = e["stops"].collect()[0]
+    assert (row.stop_id, row.stop_name, row.stop_desc) == ("S9", "Gamma", "")
+
+
+def test_missing_required_column_dropped_and_counted(spark, caplog):
+    """A header without the entity's required key columns is rejected —
+    loudly (warning carries the page count and the missing columns)."""
+    import logging
+
+    text = "#gtfs-file: trips.txt feed=bad\nroute_id,service_id\nR1,S1\n"
+    with caplog.at_level(logging.WARNING, logger="gtfs2lc_spark.extraction"):
+        e = extraction.extract_entities(_page(spark, "http://x/bad", text))
+        assert e["trips"].count() == 0
+    assert any("trip_id" in r.message and "trips.txt" in r.message for r in caplog.records)
+
+
+def test_malformed_pages_yield_nothing(spark):
+    """Marker + garbage body / None text: no crash, no rows."""
+    pages = _page(spark, "http://x/g1", "#gtfs-file: stops.txt feed=g\n\x00\x01garbage").unionByName(
+        _page(spark, "http://x/g2", None)
+    )
+    e = extraction.extract_entities(pages)
+    assert e["stops"].count() == 0

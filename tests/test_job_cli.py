@@ -109,3 +109,31 @@ def test_single_file_gzip(spark, tmp_path):
     with gzip.open(merged[0], "rt") as fh:
         first = fh.readline().rstrip("\n")
     assert first == 'VERSION "1.2-messages"'
+
+
+def test_audit_missing_refs(spark, tmp_path):
+    """--audit-missing-refs counts rows the inner dimension joins drop
+    (ADVICE r1: drop-and-count instead of the reference's crash)."""
+    from pyspark.sql import functions as F
+
+    from gtfs2lc_spark import fixtures, pipeline
+
+    feed = fixtures.entity_dfs(spark)
+    # break one reference: remove a stop used by stop_times
+    broken_stops = feed["stops"].where(F.col("stop_id") != "AMV")
+    q = {
+        (r.missing_kind, r.n_rows)
+        for r in pipeline.dimension_quarantine(
+            feed["stop_times"], feed["trips"], feed["routes"], broken_stops
+        ).collect()
+    }
+    assert ("stop", 4) in q  # AMV appears in 4 stop_times rows (AAMV1-4)
+
+    # intact feed through the CLI flag: empty quarantine in the summary
+    out = str(tmp_path / "audited")
+    args = job.parse_args(
+        ["--synthesize-feeds", "1", "--output", out, "--format", "csv",
+         "--audit-missing-refs"]
+    )
+    msg = job.run(spark, args)
+    assert msg["missing_refs"] == []

@@ -92,3 +92,73 @@ def test_ascending_order(processed):
         tuple((getattr(r, k) or "") for k in postprocess.SORT_KEYS) for r in rows
     ]
     assert keys == sorted(keys)
+
+
+def _mk_jsonld(spark, rows):
+    """jsonld-shaped rows: (id, trip, pickup, dropoff) sharing ONE
+    movement (same times/stops/route)."""
+    data = [
+        (
+            rid, "http://x/stops/A", "http://x/stops/B",
+            "2007-01-01T08:00:00.000Z", "2007-01-01T08:10:00.000Z",
+            f"http://x/trips/{trip}", "http://x/routes/R1", None, pu, do,
+        )
+        for (rid, trip, pu, do) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "id string, departureStop string, arrivalStop string, "
+        "departureTime string, arrivalTime string, gtfs_trip string, "
+        "gtfs_route string, direction string, gtfs_pickupType string, "
+        "gtfs_dropOffType string",
+    )
+
+
+def test_three_way_join_collision_absorber_last(spark):
+    """VERDICT r1 item 8: a 3-way same-movement collision (two
+    NotAvailable-pickup joiners + one absorber). Reference semantics
+    (mergeMovement, sort.js:107-135): the DESCENDING id scan is
+    sequential first-match — with the absorber scanned LAST it absorbs
+    both joiners into one connection."""
+    df = _mk_jsonld(spark, [
+        ("id_a_join2", "join2", "gtfs:NotAvailable", None),
+        ("id_b_join1", "join1", "gtfs:NotAvailable", None),
+        ("id_z_main", "main", None, None),   # highest id -> scanned first
+    ])
+    out = postprocess.merge_movements(df).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.gtfs_trip == "http://x/trips/main"
+    # absorbed in descending-scan order: join1 (id_b) before join2 (id_a)
+    assert row.joinedWithTrip == ["http://x/trips/join1", "http://x/trips/join2"]
+
+
+def test_three_way_join_collision_absorber_first(spark):
+    """Same 3 rows, but the absorber has the LOWEST id: the reference's
+    sequential scan meets the two NA-pickup rows first (no rule matches
+    between two NA rows), emits the first joiner unmerged, then the
+    absorber absorbs only the second joiner. Order-dependent — and our
+    applyInPandas group merge must reproduce it exactly."""
+    df = _mk_jsonld(spark, [
+        ("id_a_main", "main", None, None),   # lowest id -> scanned last
+        ("id_y_join1", "join1", "gtfs:NotAvailable", None),
+        ("id_z_join2", "join2", "gtfs:NotAvailable", None),
+    ])
+    out = {r.id: r for r in postprocess.merge_movements(df).collect()}
+    assert set(out) == {"id_z_join2", "id_a_main"}
+    assert out["id_z_join2"].joinedWithTrip == []
+    assert out["id_a_main"].joinedWithTrip == ["http://x/trips/join1"]
+
+
+def test_three_way_split_collision(spark):
+    """Split flavor: two NotAvailable-dropOff branches + one absorber
+    scanned first -> one connection carrying both willSplitInto."""
+    df = _mk_jsonld(spark, [
+        ("id_a_br2", "branch2", None, "gtfs:NotAvailable"),
+        ("id_b_br1", "branch1", None, "gtfs:NotAvailable"),
+        ("id_z_main", "main", None, None),
+    ])
+    out = postprocess.merge_movements(df).collect()
+    assert len(out) == 1
+    assert out[0].willSplitInto == ["http://x/trips/branch1", "http://x/trips/branch2"]
+    assert out[0].joinedWithTrip == []
