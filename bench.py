@@ -89,6 +89,11 @@ def main() -> None:
     # J8/J9 post-processor (movement merge + nextConnection linking +
     # final 6-key sort) over the jsonld of a feed subset; the input is
     # localCheckpointed so the timing isolates the post-processor
+    # feed-scoped URIs: replicated feeds must NOT collide into one
+    # movement group (they wouldn't in a real corpus; without scoping
+    # every group goes 60-wide through the Python merge path)
+    from gtfs2lc_spark.uris import FEED_SCOPED_BASE_URIS, URIStrategy
+
     pp_feeds = min(n_feeds, 60)
     ep = extraction.extract_entities(
         fixtures.pages_df_scaled(spark, pp_feeds, noise_pages=0, n_partitions=cpus)
@@ -97,7 +102,8 @@ def main() -> None:
         pipeline.convert(
             ep["stop_times"], ep["trips"], ep["routes"], ep["stops"],
             ep["calendar"], ep["calendar_dates"], salt_n=64,
-        )
+        ),
+        URIStrategy(FEED_SCOPED_BASE_URIS),
     ).drop("feed_id", "type", "departure_ts", "arrival_ts").localCheckpoint(eager=True)
     pp_runs = []
     for _ in range(2):

@@ -85,32 +85,108 @@ def _merge_group_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 def merge_movements(jsonld: DataFrame) -> DataFrame:
     """J8: collapse same-movement join/split counterparts.
 
-    Scale shape: one shuffle on the movement key; the Python path only
-    sees groups with >1 row (same dep/arr time+stop+route collisions —
-    a tiny fraction of any real feed).
+    The reference's sequential pairwise scan (mergeMovement,
+    sort.js:107-135) is a FOLD over the group's rows in descending id
+    order — expressed here as F.aggregate over the collected group
+    array: pure JVM expressions, zero Python. (The first cut routed
+    multi-row groups through applyInPandas; per-group pandas overhead on
+    ~14k two-row groups made the post-processor ~10x slower than this
+    fold — see PLANS.md.)
+
+    Scale shape: ONE shuffle (groupBy on the movement key) and a narrow
+    fold; group arrays are collision-sized (2-3 rows outside pathology).
+    ``_merge_group_pdf`` is retained as the independent reference
+    implementation the tests cross-validate against.
     """
     cols = jsonld.columns
-    w = Window.partitionBy(*[F.coalesce(F.col(k), F.lit("")) for k in MOVEMENT_KEYS])
-    counted = jsonld.withColumn("_n", F.count(F.lit(1)).over(w))
-
-    empty_arr = F.array().cast("array<string>")
-    singles = counted.where(F.col("_n") == 1).drop("_n").select(
-        *cols,
-        empty_arr.alias("joinedWithTrip"),
-        empty_arr.alias("willSplitInto"),
+    empty = F.array().cast("array<string>")
+    out_ddl = (
+        "struct<"
+        + ",".join(f"`{c}`:string" for c in cols)
+        + ",`joinedWithTrip`:array<string>,`willSplitInto`:array<string>>"
     )
+    acc_ddl = f"struct<`out`:array<{out_ddl}>,`prev`:{out_ddl},`has_prev`:boolean>"
 
-    multi = counted.where(F.col("_n") > 1).drop("_n")
-    out_schema = ", ".join(
-        [f"`{c}` string" for c in cols]
-        + ["joinedWithTrip array<string>", "willSplitInto array<string>"]
+    def rebuild(r, joined, split):
+        """outrow struct from a row/outrow struct + replacement arrays."""
+        return F.struct(
+            *[r[c].alias(c) for c in cols],
+            joined.alias("joinedWithTrip"),
+            split.alias("willSplitInto"),
+        )
+
+    def blank(x):
+        return F.coalesce(x, F.lit(""))
+
+    na = F.lit(NA)
+
+    def step(acc, c):
+        prev = acc["prev"]
+        c_pu, p_pu = blank(c["gtfs_pickupType"]), blank(prev["gtfs_pickupType"])
+        c_do, p_do = blank(c["gtfs_dropOffType"]), blank(prev["gtfs_dropOffType"])
+        keep = lambda merged: F.struct(  # noqa: E731
+            acc["out"].alias("out"), merged.alias("prev"), F.lit(True).alias("has_prev")
+        )
+        emit_prev = F.struct(
+            F.concat(acc["out"], F.array(prev)).alias("out"),
+            rebuild(c, empty, empty).alias("prev"),
+            F.lit(True).alias("has_prev"),
+        )
+        return (
+            F.when(~acc["has_prev"], keep(rebuild(c, empty, empty)))
+            # exact rule order of mergeMovement: pickup both ways first,
+            # then dropOff both ways, else no merge
+            .when(
+                (c_pu == na) & (p_pu != na),
+                keep(rebuild(prev, F.concat(prev["joinedWithTrip"], F.array(c["gtfs_trip"])), prev["willSplitInto"])),
+            )
+            .when(
+                # absorbed-prev's accumulated lists are DISCARDED, like
+                # the reference's `merged = connection` (c starts fresh)
+                (p_pu == na) & (c_pu != na),
+                keep(rebuild(c, F.array(prev["gtfs_trip"]), empty)),
+            )
+            .when(
+                (c_do == na) & (p_do != na),
+                keep(rebuild(prev, prev["joinedWithTrip"], F.concat(prev["willSplitInto"], F.array(c["gtfs_trip"])))),
+            )
+            .when(
+                (p_do == na) & (c_do != na),
+                keep(rebuild(c, empty, F.array(prev["gtfs_trip"]))),
+            )
+            .otherwise(emit_prev)
+        )
+
+    # descending id scan order (sort.js:45-95 external desc sort): ids
+    # are unique, so sorting the row structs (id is the first field)
+    # ascending and reversing reproduces pandas sort_values(ascending=False)
+    rows_desc = F.reverse(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("id").alias("id"), *[F.col(c).alias(c) for c in cols if c != "id"])
+            )
+        )
     )
-    merged = multi.groupBy(
+    init = F.struct(
+        F.array().cast(f"array<{out_ddl}>").alias("out"),
+        F.lit(None).cast(out_ddl).alias("prev"),
+        F.lit(False).alias("has_prev"),
+    )
+    folded = F.aggregate(
+        rows_desc,
+        init.cast(acc_ddl),
+        step,
+        lambda acc: F.when(
+            acc["has_prev"], F.concat(acc["out"], F.array(acc["prev"]))
+        ).otherwise(acc["out"]),
+    )
+    grouped = jsonld.groupBy(
         *[F.coalesce(F.col(k), F.lit("")).alias(f"_k_{k}") for k in MOVEMENT_KEYS]
-    ).applyInPandas(
-        lambda _key, pdf: _merge_group_pdf(pdf[cols]), schema=out_schema
+    ).agg(folded.alias("_merged"))
+    out_cols = cols + ["joinedWithTrip", "willSplitInto"]
+    return grouped.select(F.explode("_merged").alias("_r")).select(
+        *[F.col("_r")[c].alias(c) for c in out_cols]
     )
-    return singles.unionByName(merged.select(singles.columns))
 
 
 def link_next_connections(merged: DataFrame) -> DataFrame:
