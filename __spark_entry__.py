@@ -276,6 +276,13 @@ def _q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH pairs -> connected components -> one
+    canonical keeper per cluster (the corpus-dedup decision)."""
+    d = _load(spark, sf_dir, "documents")
+    return dedup.near_duplicate_clusters(d, threshold=0.5, hash_fn="md5")
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return dedup.ngram_jaccard_pairs(d, group_col="source").where(F.col("jaccard") > 0)
@@ -358,6 +365,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "dedup_fingerprint": _q_dedup_fingerprint,
         "minhash_neardup": _q_minhash_neardup,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_candidates": _q_simhash_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -413,11 +421,12 @@ def _duck_bucket(vexpr: str, planes: list[list[float]]) -> str:
     ) + ")"
 
 
-def _sql_minhash_neardup(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> str:
-    """Mirror of dedup.minhash_near_duplicates(hash_fn='md5'): same
-    shingles, same (a,b) permutation literals, same sentinel, band
-    equality on the signature slice itself (equal tuples <=> equal
-    xxhash64 band keys on the Spark side)."""
+def _minhash_pairs_ctes(num_perm: int = 32, bands: int = 8) -> str:
+    """CTE chain ending in scored(id_a, id_b, jaccard) — mirror of
+    dedup.minhash_near_duplicates(hash_fn='md5'): same shingles, same
+    (a,b) permutation literals, same sentinel, band equality on the
+    signature slice itself (equal tuples <=> equal xxhash64 band keys
+    on the Spark side)."""
     params = dedup.minhash_params(num_perm, 42)
     rows = num_perm // bands
     sig = ",\n          ".join(
@@ -428,8 +437,7 @@ def _sql_minhash_neardup(threshold: float = 0.5, num_perm: int = 32, bands: int 
             THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.sh, y.sh)))
             ELSE CAST(0 AS DOUBLE) END, 6)"""
-    return f"""
-        WITH sh AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents),
+    return f"""sh AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents),
         hs AS (SELECT id, sh, list_transform(sh, s -> {_DUCK_H32.format(s='s')}) AS hs FROM sh),
         sigs AS (SELECT id, [{sig}] AS sig FROM hs),
         bands AS (
@@ -443,8 +451,41 @@ def _sql_minhash_neardup(threshold: float = 0.5, num_perm: int = 32, bands: int 
         scored AS (
           SELECT id_a, id_b, {jac} AS jaccard
           FROM cand JOIN sh x ON x.id = id_a JOIN sh y ON y.id = id_b
-        )
+        )"""
+
+
+def _sql_minhash_neardup(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> str:
+    return f"""
+        WITH {_minhash_pairs_ctes(num_perm, bands)}
         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+def _sql_dedup_clusters(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> str:
+    """Mirror of dedup.near_duplicate_clusters: minhash near-dup pairs
+    -> connected components (recursive reachability; min id in
+    component = cluster id) -> keep = (cluster_id == doc_id)."""
+    return f"""
+        WITH RECURSIVE {_minhash_pairs_ctes(num_perm, bands)},
+        pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= {threshold}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (
+          SELECT src AS id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src
+        )
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
     """
 
 
@@ -721,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _sql_embedding_neardup(),
         "minhash_neardup": _sql_minhash_neardup(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "simhash_candidates": _sql_simhash_candidates(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "multimodal_features": """

@@ -216,6 +216,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+) -> DataFrame:
+    """Connected components over an undirected pair set -> (id,
+    cluster_id = min id in the component). The corpus-dedup final step:
+    near-dup PAIRS become duplicate CLUSTERS, and keep-policy =
+    one canonical doc (the min id) per cluster.
+
+    Algorithm: min-label propagation to fixpoint — each round every
+    node takes the min of its own label and its neighbors' labels
+    (one groupBy per round over the edge list; edges are symmetrized
+    once). Rounds needed = graph diameter (near-dup clusters are
+    shallow: duplicates of a common source — single digits in
+    practice); each round's result is localCheckpointed so the plan
+    stays flat. Deterministic, and exactly reproducible by the DuckDB
+    oracle's recursive reachability CTE.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Full corpus-dedup decision: MinHash-LSH near-dup pairs ->
+    connected components -> (doc_id, cluster_id, keep). Docs in no pair
+    are their own singleton cluster (keep=true); in a cluster, only the
+    min doc id survives."""
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, threshold, num_perm, bands, shingle_k, hash_fn
+    )
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )
+
+
 def simhash64(
     text: Column, seed: int = 42, hash_fn: str = "xxhash64", bits: int = 64
 ) -> Column:

@@ -72,3 +72,39 @@ def test_twin_trip_dedup(spark):
         dedupe=False, salt_n=None,
     )
     assert conns2.count() == 4
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation over a chain (a-b, b-c, c-d), a separate
+    2-clique, and an untouched singleton (absent from pairs)."""
+    from gtfs2lc_spark.datapipe import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_near_duplicate_clusters_keep_policy(spark):
+    """Duplicate docs cluster together; exactly one keeper (min id) per
+    cluster; unpaired docs are singleton keepers."""
+    from pyspark.sql import functions as F
+
+    from gtfs2lc_spark.datapipe import dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, text), (2, text + " ok"), (7, text), (9, "completely different words entirely unrelated content here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.cluster_id, r.keep) for r in
+           dedup.near_duplicate_clusters(df, threshold=0.5).collect()}
+    assert out[1] == (1, True)
+    assert out[7] == (1, False)
+    assert out[9] == (9, True)
+    assert out[2][0] in (1, 2)  # near-dup of 1 at this threshold or its own
+    # exactly one keeper per cluster
+    from collections import defaultdict
+    keepers = defaultdict(int)
+    for cid, keep in out.values():
+        keepers[cid] += keep
+    assert all(v == 1 for v in keepers.values())
