@@ -318,6 +318,17 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing sketch (document fingerprinting for containment
+    detection) — portable-hash gate config, one row per kept
+    fingerprint."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(text.rolling_fingerprints(F.col("text"), hash_fn="md5")).alias("fp"),
+    )
+
+
 def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("blob")
@@ -372,6 +383,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "winnowing_fingerprints": _q_winnowing_fingerprints,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
     }
@@ -771,6 +783,16 @@ def oracle_sql() -> dict[str, str]:
                          / 255.0, 6) AS f0,
                    CAST(8 AS BIGINT) AS dim
             FROM documents
+        """,
+        "winnowing_fingerprints": f"""
+            SELECT doc_id,
+                   unnest(list_filter(
+                     list_transform(
+                       range(1, greatest(length(text) - 16 + 1, 0) + 1),
+                       i -> {_DUCK_H32.format(s="substr(text, CAST(i AS INTEGER), 16)")}),
+                     h -> h % 8 = 0)) AS fp
+            FROM documents
+            WHERE length(text) >= 16
         """,
         "multimodal_metadata": """
             SELECT doc_id,

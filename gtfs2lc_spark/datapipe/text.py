@@ -112,14 +112,24 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
-def rolling_fingerprints(text: Column, window: int = 16, keep_mod: int = 8) -> Column:
+def rolling_fingerprints(
+    text: Column, window: int = 16, keep_mod: int = 8, hash_fn: str = "xxhash64"
+) -> Column:
     """Winnowing-style selective shingle fingerprints: hash every
     ``window``-char shingle, keep those ≡0 mod ``keep_mod`` — a compact
-    sketch for containment detection. Pure array expressions."""
+    sketch for containment detection. Pure array expressions.
+    ``hash_fn='md5'`` uses the engine-portable 32-bit hash so the gate
+    oracle can recompute the sketch (production default xxhash64)."""
     n = F.length(text)
+    if hash_fn == "md5":
+        from .dedup import portable_hash32
+
+        hasher = lambda s: portable_hash32(s)  # noqa: E731
+    else:
+        hasher = F.xxhash64
     hashes = F.transform(
         F.sequence(F.lit(1), n - window + 1),
-        lambda i: F.xxhash64(text.substr(i, F.lit(window))),
+        lambda i: hasher(text.substr(i, F.lit(window))),
     )
     selected = F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
     # sequence(1, x) counts down when x < 1 — guard short texts

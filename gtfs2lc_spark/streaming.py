@@ -101,6 +101,47 @@ def process_pages_batch(
     )
 
 
+def departure_volume_stream(
+    spark: SparkSession,
+    connections_dir: str,
+    watermark: str = "1 hour",
+    window: str = "15 minutes",
+) -> DataFrame:
+    """Event-time windowed aggregation over a stream of connections:
+    departures per ``window`` of event time (departure_ts), with a
+    ``watermark`` bounding how late a connection may arrive and still
+    count. The standard Structured Streaming shape — withWatermark +
+    window() groupBy — so state is bounded and, in append mode, a
+    window emits exactly once when the watermark passes it (late rows
+    inside the watermark are still aggregated; older ones are dropped).
+
+    Input: a directory of connection parquet (e.g. the pipeline's
+    triples-parquet staging or any sink that keeps departure_ts).
+    Returns the unstarted streaming DataFrame; callers pick the sink.
+    """
+    schema = (
+        "feed_id string, trip_id string, departure_ts timestamp, "
+        "arrival_ts timestamp, dep_stop_id string, arr_stop_id string"
+    )
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", "8").parquet(
+        connections_dir
+    )
+    return (
+        s.withWatermark("departure_ts", watermark)
+        .groupBy(F.window("departure_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_departures"),
+            F.approx_count_distinct("trip_id").alias("n_trips_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_departures",
+            "n_trips_approx",
+        )
+    )
+
+
 def start_incremental_conversion(
     spark: SparkSession,
     pages_dir: str,

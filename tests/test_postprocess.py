@@ -162,3 +162,51 @@ def test_three_way_split_collision(spark):
     assert len(out) == 1
     assert out[0].willSplitInto == ["http://x/trips/branch1", "http://x/trips/branch2"]
     assert out[0].joinedWithTrip == []
+
+
+def test_merge_fold_matches_python_reference(spark):
+    """Property check: the pure-JVM F.aggregate fold must reproduce
+    _merge_group_pdf (the direct transcription of mergeMovement)
+    exactly, over randomized collision groups of sizes 1-6 with random
+    NA pickup/dropOff flags. Deterministic seed."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    NA = postprocess.NA
+    rows = []
+    gid = 0
+    for size in [1, 2, 2, 3, 3, 4, 5, 6] * 8:
+        gid += 1
+        for i in range(size):
+            pu = rng.choice([None, NA, "gtfs:Regular"])
+            do = rng.choice([None, NA, "gtfs:Regular"])
+            rows.append((
+                f"id_{gid:03d}_{rng.randrange(1000):03d}_{i}",
+                f"http://x/stops/D{gid}", f"http://x/stops/A{gid}",
+                f"2007-01-01T{gid:02d}:00:00.000Z", f"2007-01-01T{gid:02d}:10:00.000Z",
+                f"http://x/trips/t{gid}_{i}", "http://x/routes/R", None, pu, do,
+            ))
+    schema = ("id string, departureStop string, arrivalStop string, "
+              "departureTime string, arrivalTime string, gtfs_trip string, "
+              "gtfs_route string, direction string, gtfs_pickupType string, "
+              "gtfs_dropOffType string")
+    df = spark.createDataFrame(rows, schema)
+    cols = df.columns
+
+    got = {
+        r.id: (tuple(r.joinedWithTrip), tuple(r.willSplitInto))
+        for r in postprocess.merge_movements(df).collect()
+    }
+
+    # independent expectation: _merge_group_pdf per movement group
+    pdf = pd.DataFrame(rows, columns=schema.replace(" string", "").split(", "))
+    want = {}
+    for _, g in pdf.groupby(["departureTime", "arrivalTime", "gtfs_route",
+                             "departureStop", "arrivalStop"], dropna=False):
+        merged = postprocess._merge_group_pdf(g[cols])
+        for _, r in merged.iterrows():
+            want[r["id"]] = (tuple(r["joinedWithTrip"]), tuple(r["willSplitInto"]))
+
+    assert got == want

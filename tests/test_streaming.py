@@ -127,3 +127,54 @@ def test_crash_between_output_and_commit(spark, tmp_path):
     )
     assert spark.read.text(f"{tmp}/out/batch=*").count() == n
     assert store.snapshots() == [0]
+
+
+def test_departure_volume_watermark(spark, tmp_path):
+    """Event-time windowed agg with watermark: windows finalize (append
+    mode) once the watermark passes; a row later than the watermark is
+    dropped, one inside it still counts."""
+    import uuid
+
+    tmp = str(tmp_path)
+    conns = f"{tmp}/conns"
+    schema = ("feed_id string, trip_id string, departure_ts timestamp, "
+              "arrival_ts timestamp, dep_stop_id string, arr_stop_id string")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(conns)
+
+    def ts(s):
+        import datetime
+        return datetime.datetime.fromisoformat(s)
+
+    # batch 1: two windows' worth of events
+    write_batch([
+        ("f", "t1", ts("2007-01-01 08:02:00"), ts("2007-01-01 08:10:00"), "A", "B"),
+        ("f", "t2", ts("2007-01-01 08:07:00"), ts("2007-01-01 08:20:00"), "A", "C"),
+        ("f", "t1", ts("2007-01-01 08:20:00"), ts("2007-01-01 08:30:00"), "B", "C"),
+    ])
+    # batch 2: late-but-inside-watermark row for 08:00 window, plus an
+    # event far ahead that advances the watermark beyond both windows
+    write_batch([
+        ("f", "t3", ts("2007-01-01 08:05:00"), ts("2007-01-01 08:15:00"), "A", "B"),
+        ("f", "t9", ts("2007-01-01 12:00:00"), ts("2007-01-01 12:10:00"), "X", "Y"),
+    ])
+
+    name = f"vol_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming.departure_volume_stream(spark, conns, watermark="1 hour", window="15 minutes")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt_vol")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.window_start.isoformat(): r.n_departures
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # both 08:00 and 08:15 windows finalized by the 12:00 watermark;
+    # the 12:00 window itself is NOT emitted (watermark hasn't passed)
+    assert got.get("2007-01-01T08:00:00") == 3  # incl. the late t3 row
+    assert got.get("2007-01-01T08:15:00") == 1
+    assert "2007-01-01T12:00:00" not in got
