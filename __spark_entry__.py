@@ -173,6 +173,15 @@ def _q_a1_grouped_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_w4_dense_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 scale path: distributed dense index (range partition +
+    per-partition rank + broadcast offsets) == a global dense_rank
+    without the single-reducer window."""
+    e = _load(spark, sf_dir, "events")
+    out = sinks.dense_index(e.select("event_id", "ts"), ["ts", "event_id"], n_parts=8)
+    return out.select("event_id", F.col("_dense_idx").alias("idx"))
+
+
 def _q_o2_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 shape: deterministic multi-key ordering surfaced as row_number."""
     e = _load(spark, sf_dir, "events")
@@ -367,6 +376,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_date_explode": _q_j6_date_explode,
         "broadcast_enrich": _q_broadcast_enrich,
         "a1_grouped_sets": _q_a1_grouped_sets,
+        "w4_dense_index": _q_w4_dense_index,
         "o2_multikey_sort": _q_o2_multikey_sort,
         "dedup_exact": _q_dedup_exact,
         "text_token_count": _q_text_token_count,
@@ -640,6 +650,11 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
                    COUNT(*) AS n
             FROM orders GROUP BY o_orderpriority
+        """,
+        "w4_dense_index": """
+            SELECT event_id,
+                   dense_rank() OVER (ORDER BY ts, event_id) - 1 AS idx
+            FROM events
         """,
         "o2_multikey_sort": """
             SELECT rn, event_id FROM (

@@ -270,22 +270,63 @@ def turtle_message_lines(conns: DataFrame, uris: URIStrategy | None = None) -> D
     )
 
 
+def dense_index(
+    df: DataFrame, key_cols: list[str], n_parts: int | None = None
+) -> DataFrame:
+    """Distributed dense 0-based index over the total order of
+    ``key_cols`` (equal keys share an index) — a global
+    ``dense_rank().over(Window.orderBy(...))`` WITHOUT the
+    single-reducer collapse.
+
+    Two passes: (1) range-repartition on the keys (sampled boundaries;
+    equal keys co-locate) and pin the partitioning with an eager
+    localCheckpoint so both passes see identical boundaries; (2) count
+    DISTINCT keys per partition (driver gets one row per partition),
+    broadcast the cumulative offsets as a literal array, and add them
+    to a per-partition dense_rank. No partition ever holds more than
+    its range's rows; the only global object is the P-sized offset
+    array."""
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n_parts, *key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in parts.groupBy("_pid")
+        .agg(F.countDistinct(*key_cols).alias("n"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(counts, default=-1) + 1):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    offset_arr = F.array(*[F.lit(o).cast("long") for o in offsets]) if offsets else F.array().cast("array<long>")
+    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    return parts.withColumn(
+        "_dense_idx",
+        F.dense_rank().over(w).cast("long") - 1
+        + F.element_at(offset_arr, F.col("_pid") + 1),
+    ).drop("_pid")
+
+
 def triples_with_message_counter(
-    conns: DataFrame, uris: URIStrategy | None = None
+    conns: DataFrame, uris: URIStrategy | None = None, n_parts: int | None = None
 ) -> DataFrame:
     """W4: RDF 1.2 message-log framing — every quad of one connection
     shares a messageCounter ordinal (lib/Connections2Triples.js:22-26,
     100-106; renumbering lib/gtfs2connections.js:199-223).
 
     The counter is a TOTAL order over connections (the reference's
-    merged output order), so this is inherently a single-reducer
-    ordering op — use it only when producing a framed serialization,
-    never mid-pipeline."""
+    merged output order) — computed with ``dense_index`` (range
+    partition + per-partition rank + broadcast offsets), so the framed
+    serialization scales instead of collapsing onto one reducer."""
     uris = uris or URIStrategy(cc=ConnectionColumns())
     triples = connections_to_triples(conns, uris)
-    w = Window.orderBy("subj")
-    return triples.withColumn(
-        "message_counter", F.dense_rank().over(w).cast("long") - 1
+    return dense_index(triples, ["subj"], n_parts).withColumnRenamed(
+        "_dense_idx", "message_counter"
     )
 
 

@@ -73,3 +73,22 @@ def test_pipeline_plan_is_broadcast_only(spark, pages_parquet):
                 raise AssertionError(
                     f"exchange above the explode (line {j}): {lines[j].strip()}"
                 )
+
+
+def test_dense_index_has_no_global_window(spark):
+    """W4 scale fix: the framed message counter must rank within range
+    partitions (partitionBy _pid), never in one global empty-partition
+    window."""
+    from pyspark.sql import functions as F
+
+    from gtfs2lc_spark import sinks
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = sinks.dense_index(e.select("event_id", "ts"), ["ts", "event_id"], n_parts=8)
+    plan = _executed_plan(out)
+    window_lines = [l for l in plan.split("\n") if "Window" in l and "dense_rank" in l]
+    assert window_lines
+    assert all("_pid" in l for l in window_lines)
+    # and values are the true global dense index
+    rows = sorted((r.ts, r.event_id, r._dense_idx) for r in out.collect())
+    assert [r[2] for r in rows] == list(range(len(rows)))
