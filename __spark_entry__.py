@@ -217,6 +217,20 @@ def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_ws_tokens"),
+        text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def _q_corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return text.corpus_token_histogram(d)
+
+
 def _q_gtfs_next_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/J9 base case: per-trip nextConnection via lead() over the
     reference sort order (bin/linkedconnections-sort.js:137-171)."""
@@ -380,6 +394,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_multikey_sort": _q_o2_multikey_sort,
         "dedup_exact": _q_dedup_exact,
         "text_token_count": _q_text_token_count,
+        "text_bpe_tokens": _q_text_bpe_tokens,
+        "corpus_token_histogram": _q_corpus_token_histogram,
         "gtfs_next_connection": _q_gtfs_next_connection,
         "gtfs_join_and_sort": _q_gtfs_join_and_sort,
         "text_quality": _q_text_quality,
@@ -672,6 +688,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
                    length(text) AS n_chars_measured
             FROM documents
+        """,
+        "text_bpe_tokens": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]{1,8}|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "corpus_token_histogram": r"""
+            WITH t AS (
+              SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+                     length(text) AS n_chars
+              FROM documents
+            )
+            SELECT CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT)
+                        ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END AS tok_band,
+                   COUNT(*) AS n_docs,
+                   SUM(n_tok) AS total_tokens,
+                   SUM(n_chars) AS total_chars
+            FROM t GROUP BY 1
         """,
         "gtfs_next_connection": oracle.sql_next_connection(),
         "gtfs_join_and_sort": oracle.sql_join_and_sort(),

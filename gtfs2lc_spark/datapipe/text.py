@@ -105,6 +105,33 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-shape analytics for pipeline tuning: documents bucketed by
+    log2 token-count bands (plus mean quality signals per band). One
+    map-side pass + a groupBy on ~30 keys — scales trivially."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    # log2 band via bit length (length of the binary rendering - 1):
+    # exact integer arithmetic — floor(log2(x)) is float-fragile at
+    # exact powers of two across engines
+    band = F.when(n_tok == 0, F.lit(-1)).otherwise(
+        (F.length(F.conv(n_tok.cast("string"), 10, 2)) - 1).cast("long")
+    )
+    return (
+        df.select(
+            band.alias("tok_band"),
+            n_tok.alias("n_tok"),
+            F.length(t).cast("long").alias("n_chars"),
+        )
+        .groupBy("tok_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (exact dedup key robust to formatting)."""
