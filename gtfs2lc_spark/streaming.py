@@ -142,6 +142,65 @@ def departure_volume_stream(
     )
 
 
+def trip_session_stream(
+    spark: SparkSession,
+    connections_dir: str,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    running per-trip session — connection count + first departure /
+    last arrival epoch — maintained in the state store across
+    micro-batches AND query restarts. Each batch emits the updated
+    session row for every trip it touched (update semantics).
+
+    The Arrow-batched state path is the Spark-native replacement for
+    hand-rolled per-key stream state (the reference's in-process Maps,
+    e.g. tripsLastConnection in bin/linkedconnections-sort.js:138).
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = (
+        "feed_id string, trip_id string, departure_ts timestamp, "
+        "arrival_ts timestamp, dep_stop_id string, arr_stop_id string"
+    )
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", "8").parquet(
+        connections_dir
+    )
+
+    out_schema = (
+        "feed_id string, trip_id string, n_connections long, "
+        "first_departure_epoch long, last_arrival_epoch long"
+    )
+    state_schema = "n long, first_dep long, last_arr long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, first_dep, last_arr = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            dep = (pdf["departure_ts"].astype("int64") // 10**9).min()
+            arr = (pdf["arrival_ts"].astype("int64") // 10**9).max()
+            first_dep = int(dep) if first_dep is None else min(first_dep, int(dep))
+            last_arr = int(arr) if last_arr is None else max(last_arr, int(arr))
+        state.update((n, first_dep, last_arr))
+        yield pd.DataFrame(
+            [
+                {
+                    "feed_id": key[0],
+                    "trip_id": key[1],
+                    "n_connections": n,
+                    "first_departure_epoch": first_dep,
+                    "last_arrival_epoch": last_arr,
+                }
+            ]
+        )
+
+    return s.groupBy("feed_id", "trip_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def start_incremental_conversion(
     spark: SparkSession,
     pages_dir: str,

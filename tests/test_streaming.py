@@ -178,3 +178,53 @@ def test_departure_volume_watermark(spark, tmp_path):
     assert got.get("2007-01-01T08:00:00") == 3  # incl. the late t3 row
     assert got.get("2007-01-01T08:15:00") == 1
     assert "2007-01-01T12:00:00" not in got
+
+
+def test_trip_session_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: per-trip session state accumulates across
+    micro-batches and across QUERY RESTARTS (state store checkpoint)."""
+    import datetime
+    import uuid
+
+    tmp = str(tmp_path)
+    conns = f"{tmp}/conns"
+    ckpt = f"{tmp}/ckpt_sess"
+    schema = ("feed_id string, trip_id string, departure_ts timestamp, "
+              "arrival_ts timestamp, dep_stop_id string, arr_stop_id string")
+    ts = datetime.datetime.fromisoformat
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(conns)
+        out = f"{tmp}/sess_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming.trip_session_stream(spark, conns)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return {
+            (r.feed_id, r.trip_id): (r.n_connections, r.first_departure_epoch, r.last_arrival_epoch)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got1 = run_once([
+        ("f", "t1", ts("2007-01-01 08:00:00"), ts("2007-01-01 08:10:00"), "A", "B"),
+        ("f", "t1", ts("2007-01-01 08:10:00"), ts("2007-01-01 08:20:00"), "B", "C"),
+        ("f", "t2", ts("2007-01-01 09:00:00"), ts("2007-01-01 09:30:00"), "A", "C"),
+    ])
+    assert got1[("f", "t1")][0] == 2
+    assert got1[("f", "t2")][0] == 1
+
+    # restart with a NEW query over the SAME checkpoint: state persists,
+    # t1's count continues from 2 -> 3 and first_departure stays 08:00
+    got2 = run_once([
+        ("f", "t1", ts("2007-01-01 08:20:00"), ts("2007-01-01 08:30:00"), "C", "D"),
+    ])
+    n, first_dep, last_arr = got2[("f", "t1")]
+    assert n == 3
+    assert first_dep == int(ts("2007-01-01 08:00:00").replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert last_arr == int(ts("2007-01-01 08:30:00").replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert ("f", "t2") not in got2  # untouched trip not re-emitted
