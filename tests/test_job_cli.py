@@ -137,3 +137,37 @@ def test_audit_missing_refs(spark, tmp_path):
     )
     msg = job.run(spark, args)
     assert msg["missing_refs"] == []
+
+
+def test_joinandsort_tool(spark, tmp_path):
+    """The standalone joinandsort tool (entry point 3.3): reads an
+    .nldjsonld file produced by the conversion job, merges/links/sorts,
+    writes one file with the @context first and connections ascending
+    by departureTime — mirroring bin/linkedconnections-sort.js:192-237
+    and the golden regeneration flow (scripts/prepare-tests.js:55-59)."""
+    from gtfs2lc_spark import sortjob
+
+    # stage 1: jsonld conversion with context, single file
+    conv_out = str(tmp_path / "conv")
+    job.run(spark, job.parse_args(
+        ["--synthesize-feeds", "1", "--output", conv_out,
+         "--format", "jsonld", "--single-file"]
+    ))
+
+    # stage 2: joinandsort over that file
+    sorted_out = str(tmp_path / "sorted")
+    sortjob.run(spark, sortjob.parse_args(
+        ["--input", f"{conv_out}/linkedConnections.jsonld", "--output", sorted_out]
+    ))
+    with open(f"{sorted_out}/connections.nldjsonld") as fh:
+        lines = [json.loads(ln) for ln in fh if ln.strip()]
+    assert "@context" in lines[0]
+    conns = lines[1:]
+    # merged totals: 3472 - 2x51 (joining) - 130 (splitting)
+    assert len(conns) == 3240
+    # ascending by the O2 comparator's leading key
+    times = [c["departureTime"] for c in conns]
+    assert times == sorted(times)
+    # split-branch link survives the file round-trip
+    split = [c for c in conns if c["@id"].endswith("/20070216/Y/non_joining_splitting_trip_3")]
+    assert len(split) == 1 and len(split[0]["nextConnection"]) == 2
