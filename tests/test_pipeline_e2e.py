@@ -113,3 +113,59 @@ def test_empty_calendar_feed(spark, feed):
     )
     dates = {r.service_date for r in conns.select("service_date").distinct().collect()}
     assert dates == {"20070605", "20070606", "20070607"}  # FULLW added days only
+
+
+def test_dst_transition_days(spark):
+    """Transition-DAY semantics (SURVEY §1.5 / §7.4 risk 1): timestamps
+    are epoch(local midnight) + dfm seconds, never wall-clock interval
+    addition. Spring-forward day is 23h long; fall-back day is 25h —
+    a 26:00:00 dfm on 2007-10-28 lands at 00:00Z Oct 29 (epoch), where
+    wall-clock 'add 26 hours' would give 01:00Z. Also covers dfm inside
+    the skipped hour (02:30 on 2007-03-25 -> wall 03:30 CEST)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from gtfs2lc_spark import pipeline, sinks
+
+    def feed(dates):
+        stop_times = spark.createDataFrame(
+            [("T", "2:30:00", "2:30:00", "A", "1", "", "", "", ""),
+             ("T", "26:00:00", "26:00:00", "B", "2", "", "", "", "")],
+            "trip_id string, arrival_time string, departure_time string, "
+            "stop_id string, stop_sequence string, stop_headsign string, "
+            "pickup_type string, drop_off_type string, shape_dist_traveled string",
+        ).withColumn("feed_id", F.lit("f")).withColumn("url", F.lit("u"))
+        trips = spark.createDataFrame(
+            [("R", "S", "T", "h", "", "", "")],
+            "route_id string, service_id string, trip_id string, trip_headsign string, "
+            "trip_short_name string, direction_id string, block_id string",
+        ).withColumn("feed_id", F.lit("f")).withColumn("url", F.lit("u"))
+        routes = spark.createDataFrame(
+            [("R", "a", "r", "Long", "3")],
+            "route_id string, agency_id string, route_short_name string, "
+            "route_long_name string, route_type string",
+        ).withColumn("feed_id", F.lit("f")).withColumn("url", F.lit("u"))
+        stops = spark.createDataFrame(
+            [("A", "An", "", "1", "1", "", ""), ("B", "Bn", "", "2", "2", "", "")],
+            "stop_id string, stop_name string, stop_desc string, stop_lat string, "
+            "stop_lon string, zone_id string, stop_url string",
+        ).withColumn("feed_id", F.lit("f")).withColumn("url", F.lit("u"))
+        calendar = spark.createDataFrame(
+            [], "service_id string, monday string, tuesday string, wednesday string, "
+            "thursday string, friday string, saturday string, sunday string, "
+            "start_date string, end_date string, feed_id string, url string")
+        cdates = spark.createDataFrame(
+            [("S", d, "1", "f", "u") for d in dates],
+            "service_id string, date string, exception_type string, feed_id string, url string")
+        return pipeline.convert(stop_times, trips, routes, stops, calendar, cdates, salt_n=4)
+
+    conns = feed(["20070325", "20071028"]).select(
+        "service_date",
+        F.date_format("departure_ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("dep"),
+        F.date_format("arrival_ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("arr"),
+    ).collect()
+    got = {r.service_date: (r.dep, r.arr) for r in conns}
+    # spring forward: local midnight 23:00Z; +2.5h = 01:30Z; +26h = 25:00Z next day
+    assert got["20070325"] == ("2007-03-25T01:30:00.000Z", "2007-03-26T01:00:00.000Z")
+    # fall back: local midnight 22:00Z; +2.5h = 00:30Z; +26h = 00:00Z Oct 29
+    # (wall-clock 'add 26 hours' would say 01:00Z — the 25-hour-day trap)
+    assert got["20071028"] == ("2007-10-28T00:30:00.000Z", "2007-10-29T00:00:00.000Z")
