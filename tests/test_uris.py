@@ -99,3 +99,25 @@ def test_template_fills_missing_as_empty(conn_df):
     col2 = compile_template("http://ex.org/{routes.route_long_name}/x", cc)
     df = conn_df.withColumn("route_route_long_name", F.lit(None).cast("string"))
     assert df.select(col2.alias("u")).first().u == "http://ex.org//x"
+
+
+def test_percent_encode_randomized_parity(spark):
+    """Randomized parity with urllib.parse.quote(safe='') over 300
+    seeded strings mixing ASCII, Latin-1, BMP CJK, astral emoji, a
+    combining mark, and the replacement char — the JVM url_encode +
+    fixups must agree byte-for-byte with CPython's RFC 3986 encoder."""
+    import random
+    from urllib.parse import quote
+
+    rng = random.Random(99)
+    pool = [chr(c) for c in range(32, 127)] + [
+        "é", "€", "中", "\U0001f600", "́", "�"
+    ]
+    samples = [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 24)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, v string")
+    got = {r.i: r.e for r in df.select("i", percent_encode(F.col("v")).alias("e")).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == quote(s, safe=""), repr(s)
