@@ -63,6 +63,9 @@ def merge_shards(
         for part in sorted(glob.glob(f"{shards_dir}/part-*")):
             with open(part) as r:
                 shutil.copyfileobj(r, w)
+    # the reference deletes worker intermediates after the merge
+    # (cleanIntermediateFiles, lib/gtfs2connections.js:234-248)
+    shutil.rmtree(shards_dir, ignore_errors=True)
 
 
 def format_header(fmt: str) -> str | None:

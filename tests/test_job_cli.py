@@ -171,3 +171,13 @@ def test_joinandsort_tool(spark, tmp_path):
     # split-branch link survives the file round-trip
     split = [c for c in conns if c["@id"].endswith("/20070216/Y/non_joining_splitting_trip_3")]
     assert len(split) == 1 and len(split[0]["nextConnection"]) == 2
+
+
+def test_single_file_cleans_intermediates(spark, tmp_path):
+    """The S7 merge removes its shard intermediates, like the
+    reference's cleanIntermediateFiles."""
+    import os
+
+    out = _run(spark, tmp_path, "json", "--single-file")
+    assert not os.path.exists(f"{out}/_shards")
+    assert glob.glob(f"{out}/linkedConnections.json")
