@@ -341,6 +341,15 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test routing — engine-portable seeded
+    hash buckets, reproducible by the oracle."""
+    d = _load(spark, sf_dir, "documents")
+    return text.hash_split(
+        d, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split_bucket", "split")
+
+
 def _q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing sketch (document fingerprinting for containment
     detection) — portable-hash gate config, one row per kept
@@ -409,6 +418,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "hash_split": _q_hash_split,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
@@ -835,6 +845,18 @@ def oracle_sql() -> dict[str, str]:
                          / 255.0, 6) AS f0,
                    CAST(8 AS BIGINT) AS dim
             FROM documents
+        """,
+        "hash_split": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     {_DUCK_H32.format(s="'split-v1' || '|' || CAST(doc_id AS VARCHAR)")} % 10000 AS split_bucket
+              FROM documents
+            )
+            SELECT doc_id, split_bucket,
+                   CASE WHEN split_bucket < 9000 THEN 'train'
+                        WHEN split_bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "winnowing_fingerprints": f"""
             SELECT doc_id,

@@ -132,6 +132,53 @@ def corpus_token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test routing: split = the bucket of
+    md5(seed || id) mod 10000 under the cumulative weight boundaries.
+    Stable across runs, machines, and engines (the gate oracle
+    recomputes the identical assignment in DuckDB); adding documents
+    never reassigns existing ones — the properties that matter for
+    dataset reproducibility, unlike randomSplit. Pure narrow codegen."""
+    from .dedup import portable_hash32
+
+    names = list(weights)
+    total = sum(weights.values())
+    bucket = F.pmod(
+        portable_hash32(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),
+        F.lit(10000),
+    )
+    acc = 0.0
+    expr = F.lit(names[-1])
+    bounds = []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bounds.append((name, int(round(acc * 10000))))
+    for name, bound in reversed(bounds):
+        expr = F.when(bucket < bound, F.lit(name)).otherwise(expr)
+    return df.select("*", bucket.alias("split_bucket"), expr.alias("split"))
+
+
+def hash_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", seed: str = "sample-v1"
+) -> DataFrame:
+    """Deterministic corpus sampling: keep rows whose seeded hash
+    bucket falls below rate*10000. Same engine-portable stability
+    story as hash_split; unlike df.sample, re-running or re-reading
+    never changes membership."""
+    from .dedup import portable_hash32
+
+    bucket = F.pmod(
+        portable_hash32(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),
+        F.lit(10000),
+    )
+    return df.where(bucket < int(round(rate * 10000)))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (exact dedup key robust to formatting)."""

@@ -285,3 +285,24 @@ def test_sample_frames(spark):
     out = multimodal.sample_frames(df, "blob", every_n_bytes=64, max_frames=8).collect()
     assert len(out) == 4  # floor(200/64)=3 -> frames 0..3
     assert out[0].frame_bytes == bytes(range(64))
+
+
+def test_hash_split_and_sample_deterministic(spark):
+    """Split assignment is stable (same id -> same split, run-to-run and
+    independent of other rows); sample membership likewise; weights are
+    approximately respected."""
+    d1 = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    d2 = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r.doc_id: r.split for r in text.hash_split(d1, w).collect()}
+    s2 = {r.doc_id: r.split for r in text.hash_split(d2, w).collect()}
+    assert all(s2[k] == v for k, v in s1.items())  # growing corpus never reassigns
+    from collections import Counter
+    c = Counter(s2.values())
+    assert 0.75 < c["train"] / 4000 < 0.85
+    assert 0.07 < c["val"] / 4000 < 0.13
+
+    kept1 = {r.doc_id for r in text.hash_sample(d1, 0.25).collect()}
+    kept2 = {r.doc_id for r in text.hash_sample(d2, 0.25).collect()}
+    assert kept1 == {k for k in kept2 if k < 2000}
+    assert 0.2 < len(kept2) / 4000 < 0.3
