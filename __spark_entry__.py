@@ -183,11 +183,14 @@ def _q_w4_dense_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_o2_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2 shape: deterministic multi-key ordering surfaced as row_number."""
+    """O2 shape: deterministic multi-key ordering surfaced as
+    row_number — via the distributed dense_index ((ts, event_id) keys
+    are unique, so dense rank == row number) instead of a global
+    single-reducer Window.orderBy."""
     e = _load(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
+    out = sinks.dense_index(e.select("ts", "event_id"), ["ts", "event_id"], n_parts=8)
     return (
-        e.withColumn("rn", F.row_number().over(w))
+        out.withColumn("rn", (F.col("_dense_idx") + 1).cast("int"))
         .where(F.col("rn") <= 500)
         .select("rn", "event_id")
     )
