@@ -353,6 +353,14 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split_bucket", "split")
 
 
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sampling: membership = seeded hash bucket
+    below rate*10000 — stable across runs, engines and re-reads
+    (unlike df.sample), reproduced exactly by the DuckDB oracle."""
+    d = _load(spark, sf_dir, "documents")
+    return text.hash_sample(d, rate=0.25).select("doc_id", "lang", "source")
+
+
 def _q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing sketch (document fingerprinting for containment
     detection) — portable-hash gate config, one row per kept
@@ -422,6 +430,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "hash_split": _q_hash_split,
+        "hash_sample": _q_hash_sample,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
@@ -719,8 +728,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT)
                         ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END AS tok_band,
                    COUNT(*) AS n_docs,
-                   SUM(n_tok) AS total_tokens,
-                   SUM(n_chars) AS total_chars
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM t GROUP BY 1
         """,
         "gtfs_next_connection": oracle.sql_next_connection(),
@@ -860,6 +869,11 @@ def oracle_sql() -> dict[str, str]:
                         WHEN split_bucket < 9500 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "hash_sample": f"""
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE {_DUCK_H32.format(s="'sample-v1' || '|' || CAST(doc_id AS VARCHAR)")} % 10000 < 2500
         """,
         "winnowing_fingerprints": f"""
             SELECT doc_id,

@@ -129,6 +129,28 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(runs)
 
+    # W4 framed-counter path (VERDICT r2 item 6): the dense_index
+    # two-pass (range repartition + pinned localCheckpoint + broadcast
+    # offsets) over the FULL triple output — the cost of message-log
+    # framing at output scale. Input triples are checkpointed so the
+    # timing isolates the framing passes from the pipeline.
+    pages.unpersist()
+    ent_fc = extraction.extract_entities(pages)
+    conns_fc = pipeline.convert(
+        ent_fc["stop_times"], ent_fc["trips"], ent_fc["routes"], ent_fc["stops"],
+        ent_fc["calendar"], ent_fc["calendar_dates"], salt_n=64,
+    )
+    triples_fc = sinks.connections_to_triples(conns_fc).localCheckpoint(eager=True)
+    fc_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(
+            sinks.dense_index(triples_fc, ["subj"], n_parts=max(cpus, 8))
+            .withColumnRenamed("_dense_idx", "message_counter")
+        )
+        fc_runs.append(round(time.perf_counter() - t0, 3))
+    timings["w4_message_counter"] = min(fc_runs)
+
     total_triples = n_feeds * TRIPLES_PER_FEED
     tps = round(total_triples / timings["gtfs_pipeline_triples"], 1)
     print(

@@ -217,7 +217,11 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected pair set -> (id,
     cluster_id = min id in the component). The corpus-dedup final step:
@@ -232,7 +236,15 @@ def connected_components(
     practice); each round's result is localCheckpointed so the plan
     stays flat. Deterministic, and exactly reproducible by the DuckDB
     oracle's recursive reachability CTE.
+
+    Rounds needed = component diameter: if ``max_iters`` is exhausted
+    with labels still changing (a chain-shaped cluster longer than
+    ``max_iters``) the labels are NOT final — with ``strict=True``
+    (default) that raises instead of silently returning partial
+    clusters that would corrupt keep-decisions; ``strict=False``
+    downgrades to a logged warning for exploratory runs.
     """
+    import warnings
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -242,6 +254,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -265,7 +278,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iters={max_iters} "
+            "rounds (a component's diameter exceeds the round budget); labels "
+            "are partial and keep-decisions derived from them would be wrong. "
+            "Raise max_iters."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

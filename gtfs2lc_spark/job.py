@@ -39,9 +39,12 @@ FORMATS = ("json", "jsonld", "mongo", "mongold", "csv", "turtle", "ntriples",
            "triples-parquet")
 
 
-# formatExtension (lib/gtfs2connections.js:40-55 equivalents)
+# formatExtension (lib/gtfs2connections.js:147-153): json/mongo/jsonld/
+# mongold ALL map to 'json' — the merged file is linkedConnections.json
+# for every JSON-shaped format, so downstream consumers of the
+# reference's filenames work unchanged
 FORMAT_EXT = {
-    "json": "json", "mongo": "json", "jsonld": "jsonld", "mongold": "jsonld",
+    "json": "json", "mongo": "json", "jsonld": "json", "mongold": "json",
     "csv": "csv", "turtle": "ttl", "ntriples": "nt",
 }
 
@@ -51,17 +54,19 @@ def merge_shards(
 ) -> None:
     """Driver-side shard concat (S7, mergeWorkerOutput): header line(s)
     first, then every part file in name order. Streaming copy — the
-    driver never holds more than one buffer."""
+    driver never holds more than one buffer. Binary mode throughout:
+    Spark shards are UTF-8 and the merge is a pure byte concat, so the
+    locale default encoding (e.g. LANG=C) must never touch the bytes."""
     import glob
     import gzip
     import shutil
 
     opener = gzip.open if gz else open
-    with opener(dest, "wt") as w:
+    with opener(dest, "wb") as w:
         if header is not None:
-            w.write(header + "\n")
+            w.write(header.encode("utf-8") + b"\n")
         for part in sorted(glob.glob(f"{shards_dir}/part-*")):
-            with open(part) as r:
+            with open(part, "rb") as r:
                 shutil.copyfileobj(r, w)
     # the reference deletes worker intermediates after the merge
     # (cleanIntermediateFiles, lib/gtfs2connections.js:234-248)
@@ -118,6 +123,9 @@ def build_outputs(
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pages", help="path to pages parquet/Iceberg table")
+    ap.add_argument("--gtfs-dir",
+                    help="plain GTFS feed directory (the reference CLI's "
+                         "own input mode: gtfs2lc <path>, bin/gtfs2lc.js:13-50)")
     ap.add_argument("--synthesize-feeds", type=int, default=0)
     ap.add_argument("--output", required=True)
     ap.add_argument("--format", default="jsonld", choices=FORMATS)
@@ -145,14 +153,18 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     ``main``); returns the run-summary dict the CLI prints."""
     t0 = time.time()
 
-    if args.pages:
-        pages = spark.read.parquet(args.pages)
-    elif args.synthesize_feeds:
-        pages = fixtures.pages_df_scaled(spark, args.synthesize_feeds, noise_pages=40)
-    else:
-        raise ValueError("need --pages or --synthesize-feeds")
+    if getattr(args, "gtfs_dir", None):
+        from gtfs2lc_spark.sources import read_gtfs_dir
 
-    e = extract_entities(pages)
+        e = read_gtfs_dir(spark, args.gtfs_dir)
+    else:
+        if args.pages:
+            pages = spark.read.parquet(args.pages)
+        elif args.synthesize_feeds:
+            pages = fixtures.pages_df_scaled(spark, args.synthesize_feeds, noise_pages=40)
+        else:
+            raise ValueError("need --pages, --gtfs-dir or --synthesize-feeds")
+        e = extract_entities(pages)
     conns = pipeline.convert(
         e["stop_times"], e["trips"], e["routes"], e["stops"],
         e["calendar"], e["calendar_dates"],

@@ -82,7 +82,7 @@ def _merge_group_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def merge_movements(jsonld: DataFrame) -> DataFrame:
+def merge_movements(jsonld: DataFrame, big_group_threshold: int = 10_000) -> DataFrame:
     """J8: collapse same-movement join/split counterparts.
 
     The reference's sequential pairwise scan (mergeMovement,
@@ -93,12 +93,33 @@ def merge_movements(jsonld: DataFrame) -> DataFrame:
     ~14k two-row groups made the post-processor ~10x slower than this
     fold — see PLANS.md.)
 
-    Scale shape: ONE shuffle (groupBy on the movement key) and a narrow
-    fold; group arrays are collision-sized (2-3 rows outside pathology).
-    ``_merge_group_pdf`` is retained as the independent reference
-    implementation the tests cross-validate against.
+    Scale shape: ONE shuffle. The movement key is materialized once and
+    hash-partitioned by the window count, so the downstream groupBys
+    (HashPartitioning on the same attributes) add no exchange. Groups
+    larger than ``big_group_threshold`` — a pathological
+    identical-movement pile-up that would (a) build an unbounded
+    collect_list buffer and (b) hit the fold's O(n^2) accumulator-array
+    concat — are routed to the exact sequential pandas merge
+    (``_merge_group_pdf``, O(n) per group, Arrow-batched); normal
+    collision-sized groups (2-3 rows) never leave the JVM.
     """
     cols = jsonld.columns
+    kcols = [f"_k_{k}" for k in MOVEMENT_KEYS]
+    keyed = (
+        jsonld.select(
+            *cols,
+            *[F.coalesce(F.col(k), F.lit("")).alias(kc) for k, kc in zip(MOVEMENT_KEYS, kcols)],
+        )
+        .withColumn("_gn", F.count(F.lit(1)).over(Window.partitionBy(*kcols)))
+        # pin the shuffled+counted rows: the big-group probe below and
+        # the fold both read this materialization instead of recomputing
+        # the whole upstream pipeline (the post-processor's output is
+        # re-read by several J9 self-joins anyway, so the post-shuffle
+        # set gets materialized here once, executor-local)
+        .localCheckpoint(eager=True)
+    )
+    small = keyed.where(F.col("_gn") <= big_group_threshold)
+    big = keyed.where(F.col("_gn") > big_group_threshold)
     empty = F.array().cast("array<string>")
     out_ddl = (
         "struct<"
@@ -180,13 +201,33 @@ def merge_movements(jsonld: DataFrame) -> DataFrame:
             acc["has_prev"], F.concat(acc["out"], F.array(acc["prev"]))
         ).otherwise(acc["out"]),
     )
-    grouped = jsonld.groupBy(
-        *[F.coalesce(F.col(k), F.lit("")).alias(f"_k_{k}") for k in MOVEMENT_KEYS]
-    ).agg(folded.alias("_merged"))
     out_cols = cols + ["joinedWithTrip", "willSplitInto"]
-    return grouped.select(F.explode("_merged").alias("_r")).select(
-        *[F.col("_r")[c].alias(c) for c in out_cols]
+    small_out = (
+        small.groupBy(*kcols)
+        .agg(folded.alias("_merged"))
+        .select(F.explode("_merged").alias("_r"))
+        .select(*[F.col("_r")[c].alias(c) for c in out_cols])
     )
+
+    # Oversized-group escape hatch: exact sequential merge in pandas
+    # (one Arrow batch stream per group — no unbounded JVM agg buffer).
+    # The branch only enters the executed plan when such a group exists,
+    # so the common case never pays a Python stage.
+    if big.isEmpty():
+        return small_out
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in jsonld.schema.fields]
+        + ["`joinedWithTrip` array<string>", "`willSplitInto` array<string>"]
+    )
+    drop_cols = kcols + ["_gn"]
+
+    def _merge_big(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _merge_group_pdf(pdf.drop(columns=drop_cols))
+        return out[out_cols]
+
+    big_out = big.groupBy(*kcols).applyInPandas(_merge_big, schema=out_schema)
+    return small_out.unionByName(big_out)
 
 
 def link_next_connections(merged: DataFrame) -> DataFrame:

@@ -120,11 +120,12 @@ def jsonld_lines(jsonld: DataFrame) -> DataFrame:
     return jsonld.select(F.to_json(F.struct(*fields)).alias("line"))
 
 
-def raw_json_lines(conns: DataFrame) -> DataFrame:
-    """The reference's ``json`` format: raw Connection objects as
-    ND-JSON (lib/streams/JSONLinesStringer.js + the Connection shape of
-    lib/ConnectionsBuilder.js:42-53) — nested full stop/trip/route rows,
-    keys in the reference's insertion order, Dates as ISO strings."""
+def _raw_connection_obj(conns: DataFrame, wrap_dates: bool) -> Column:
+    """Shared raw-Connection struct (the Connection shape of
+    lib/ConnectionsBuilder.js:42-53): nested full stop/trip/route rows,
+    keys in the reference's insertion order, Dates as ISO strings.
+    ``wrap_dates`` switches the top-level times to Mongo extended JSON
+    ({"$date": iso}) — Connections2Mongo semantics."""
     from .schemas import ROUTES_COLS, STOPS_COLS, TRIPS_COLS
 
     def row_struct(prefix: str, cols: tuple[str, ...], *extra) -> Column:
@@ -133,10 +134,14 @@ def raw_json_lines(conns: DataFrame) -> DataFrame:
             *extra,
         )
 
-    obj = F.struct(
-        iso(F.col("departure_ts")).alias("departureTime"),
+    def time(c: str) -> Column:
+        rendered = iso(F.col(c))
+        return F.struct(rendered.alias("$date")) if wrap_dates else rendered
+
+    return F.struct(
+        time("departure_ts").alias("departureTime"),
         row_struct("dep_", STOPS_COLS).alias("departureStop"),
-        iso(F.col("arrival_ts")).alias("arrivalTime"),
+        time("arrival_ts").alias("arrivalTime"),
         row_struct("arr_", STOPS_COLS).alias("arrivalStop"),
         row_struct(
             "trip_",
@@ -150,7 +155,14 @@ def raw_json_lines(conns: DataFrame) -> DataFrame:
         F.col("pickup_type"),
         F.col("drop_off_type"),
     )
-    return conns.select(F.to_json(obj).alias("line"))
+
+
+def raw_json_lines(conns: DataFrame) -> DataFrame:
+    """The reference's ``json`` format: raw Connection objects as
+    ND-JSON (lib/streams/JSONLinesStringer.js)."""
+    return conns.select(
+        F.to_json(_raw_connection_obj(conns, wrap_dates=False)).alias("line")
+    )
 
 
 def mongold_lines(jsonld: DataFrame) -> DataFrame:
@@ -183,33 +195,9 @@ def mongo_lines(conns: DataFrame) -> DataFrame:
     before JSONLinesStringer (lib/gtfs2connections.js:263-264;
     lib/Connections2Mongo.js:20-27; no '@id' exists on raw connections,
     so no '_id' is added)."""
-    from .schemas import ROUTES_COLS, STOPS_COLS, TRIPS_COLS
-
-    def row_struct(prefix: str, cols: tuple[str, ...], *extra) -> Column:
-        return F.struct(
-            *[F.col(f"{prefix}{c}").alias(c) for c in cols if f"{prefix}{c}" in conns.columns],
-            *extra,
-        )
-
-    date = lambda c: F.struct(iso(F.col(c)).alias("$date"))  # noqa: E731
-    obj = F.struct(
-        date("departure_ts").alias("departureTime"),
-        row_struct("dep_", STOPS_COLS).alias("departureStop"),
-        date("arrival_ts").alias("arrivalTime"),
-        row_struct("arr_", STOPS_COLS).alias("arrivalStop"),
-        row_struct(
-            "trip_",
-            TRIPS_COLS,
-            F.col("trip_start_dfm").alias("startTime_dfm"),
-            iso(F.col("trip_start_ts")).alias("startTime"),
-        ).alias("trip"),
-        row_struct("route_", ROUTES_COLS).alias("route"),
-        F.col("headsign"),
-        F.col("stop_sequence"),
-        F.col("pickup_type"),
-        F.col("drop_off_type"),
+    return conns.select(
+        F.to_json(_raw_connection_obj(conns, wrap_dates=True)).alias("line")
     )
-    return conns.select(F.to_json(obj).alias("line"))
 
 
 def _turtle_escape(c: Column) -> Column:
@@ -410,13 +398,18 @@ def connections_to_triples(
 
 
 def triples_to_ntriples_lines(triples: DataFrame) -> DataFrame:
-    """(subj,pred,obj) -> N-Triples text lines."""
+    """(subj,pred,obj) -> N-Triples text lines.
+
+    Literal objects are escaped per the N-Triples STRING_LITERAL_QUOTE
+    grammar (`"`, `\\`, LF, CR must be backslash-escaped) — the
+    reference serializes through rdf-parser-ts StreamWriter which does
+    the same (lib/gtfs2connections.js:273-294)."""
     obj = F.when(
         F.col("obj_kind") == "iri", F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
     ).otherwise(
         F.concat(
             F.lit('"'),
-            F.col("obj"),
+            _turtle_escape(F.col("obj")),
             F.lit('"'),
             F.when(
                 F.col("obj_datatype").isNotNull(),

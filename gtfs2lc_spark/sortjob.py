@@ -56,8 +56,17 @@ def read_jsonld_connections(
     """ND-JSON -> jsonld-shaped DataFrame (+ the @context record, if
     any, parsed driver-side — it is one line by construction)."""
     lines = spark.read.text(path)
+    # the context record is the line whose TOP-LEVEL object has an
+    # '@context' key and no '@id' (a connection whose direction text
+    # merely contains the substring '"@context"' must not match) —
+    # JSON-path probe, evaluated JVM-side
     ctx_rows = (
-        lines.where(F.col("value").contains('"@context"')).limit(1).collect()
+        lines.where(
+            F.get_json_object("value", "$['@context']").isNotNull()
+            & F.get_json_object("value", "$['@id']").isNull()
+        )
+        .limit(1)
+        .collect()
     )
     context = json.loads(ctx_rows[0].value) if ctx_rows else None
     parsed = lines.select(

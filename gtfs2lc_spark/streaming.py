@@ -79,10 +79,23 @@ def process_pages_batch(
     detected.write.mode("overwrite").parquet(f"{staging_dir}/batch={batch_id}")
     if not feeds:
         return
+    # A re-crawled url (same url detected again in a later batch — the
+    # natural update path for a continuously-crawled corpus) must
+    # REPLACE its earlier staged rows, not union with them: keep only
+    # each url's newest batch via max_by on the staging partition
+    # column. (A url whose newer crawl no longer contains GTFS content
+    # is not re-detected, so its last detected snapshot remains staged —
+    # retraction would need an explicit tombstone, out of scope.)
+    staged_all = spark.read.parquet(staging_dir).where(F.col("feed_id").isin(feeds))
+    data_cols = [c for c in staged_all.columns if c != "batch"]
     staged = (
-        spark.read.parquet(staging_dir)
-        .where(F.col("feed_id").isin(feeds))
-        .drop("batch")
+        staged_all.groupBy("url")
+        .agg(
+            F.max_by(
+                F.struct(*data_cols), F.col("batch").cast("long")
+            ).alias("_s")
+        )
+        .select("_s.*")
     )
     e = entities_from_detected(staged)
     conns = pipeline.convert(

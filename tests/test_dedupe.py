@@ -108,3 +108,30 @@ def test_near_duplicate_clusters_keep_policy(spark):
     for cid, keep in out.values():
         keepers[cid] += keep
     assert all(v == 1 for v in keepers.values())
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """VERDICT r2 item 4: exhausting max_iters with labels still
+    changing must raise (strict default) or warn (strict=False), never
+    silently return partial clusters; fixpoint behavior unchanged when
+    the round budget suffices."""
+    import pytest
+
+    from gtfs2lc_spark.datapipe import dedup
+
+    # a 16-node chain has diameter 15: min-label propagation moves the
+    # 0-label one hop per round, so 5 rounds cannot converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=5)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        partial = dedup.connected_components(pairs, max_iters=5, strict=False)
+    assert partial.count() == 16  # labels still returned, but loudly partial
+
+    full = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(pairs, max_iters=20).collect()
+    }
+    assert full == {i: 0 for i in range(16)}

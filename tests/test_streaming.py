@@ -228,3 +228,50 @@ def test_trip_session_state_survives_restart(spark, tmp_path):
     assert first_dep == int(ts("2007-01-01 08:00:00").replace(tzinfo=datetime.timezone.utc).timestamp())
     assert last_arr == int(ts("2007-01-01 08:30:00").replace(tzinfo=datetime.timezone.utc).timestamp())
     assert ("f", "t2") not in got2  # untouched trip not re-emitted
+
+
+def test_recrawled_url_replaces_staged_page(spark, tmp_path):
+    """ADVICE r2 (medium): a url re-crawled in a later batch must
+    REPLACE its staged rows, not duplicate them — otherwise the
+    lag-window pairing runs over doubled stop_times. Re-delivering the
+    whole feed as batch 1 must emit zero new connections (identical
+    content, history already has every pair) and must not corrupt the
+    staging store with duplicate pages."""
+    import pytest
+    from gtfs2lc_spark import pipeline as pl
+
+    tmp = str(tmp_path)
+    store = HistoryStore(spark, f"{tmp}/history")
+    pages = fixtures.pages_df(spark, feed_id="feedR", noise_pages=0).cache()
+
+    streaming.process_pages_batch(
+        spark, pages, 0, store, f"{tmp}/staging", f"{tmp}/out", salt_n=8
+    )
+    n0 = spark.read.text(f"{tmp}/out/batch=*").count()
+    assert n0 == fixtures.SAMPLE_FEED_CONNECTIONS
+
+    # batch 1 re-crawls every page (same urls, same content)
+    streaming.process_pages_batch(
+        spark, pages, 1, store, f"{tmp}/staging", f"{tmp}/out", salt_n=8
+    )
+    assert spark.read.text(f"{tmp}/out/batch=*").count() == n0
+
+    # staged view dedups per url: converting from staging yields the
+    # exact connection count, not 2x
+    from gtfs2lc_spark.extraction import entities_from_detected
+    from pyspark.sql import functions as FF
+
+    staged_all = spark.read.parquet(f"{tmp}/staging")
+    assert staged_all.count() == 2 * staged_all.select("url").distinct().count()
+    latest = (
+        staged_all.groupBy("url")
+        .agg(FF.max_by(FF.struct(*[c for c in staged_all.columns if c != "batch"]),
+                       FF.col("batch").cast("long")).alias("_s"))
+        .select("_s.*")
+    )
+    e = entities_from_detected(latest)
+    conns = pl.convert(
+        e["stop_times"], e["trips"], e["routes"], e["stops"],
+        e["calendar"], e["calendar_dates"], salt_n=8,
+    )
+    assert conns.count() == fixtures.SAMPLE_FEED_CONNECTIONS
