@@ -82,7 +82,9 @@ def _merge_group_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def merge_movements(jsonld: DataFrame, big_group_threshold: int = 10_000) -> DataFrame:
+def merge_movements(
+    jsonld: DataFrame, big_group_threshold: int | None = 10_000
+) -> DataFrame:
     """J8: collapse same-movement join/split counterparts.
 
     The reference's sequential pairwise scan (mergeMovement,
@@ -105,21 +107,24 @@ def merge_movements(jsonld: DataFrame, big_group_threshold: int = 10_000) -> Dat
     """
     cols = jsonld.columns
     kcols = [f"_k_{k}" for k in MOVEMENT_KEYS]
-    keyed = (
-        jsonld.select(
-            *cols,
-            *[F.coalesce(F.col(k), F.lit("")).alias(kc) for k, kc in zip(MOVEMENT_KEYS, kcols)],
-        )
-        .withColumn("_gn", F.count(F.lit(1)).over(Window.partitionBy(*kcols)))
-        # pin the shuffled+counted rows: the big-group probe below and
-        # the fold both read this materialization instead of recomputing
-        # the whole upstream pipeline (the post-processor's output is
-        # re-read by several J9 self-joins anyway, so the post-shuffle
-        # set gets materialized here once, executor-local)
-        .localCheckpoint(eager=True)
+    keyed = jsonld.select(
+        *cols,
+        *[F.coalesce(F.col(k), F.lit("")).alias(kc) for k, kc in zip(MOVEMENT_KEYS, kcols)],
     )
-    small = keyed.where(F.col("_gn") <= big_group_threshold)
-    big = keyed.where(F.col("_gn") > big_group_threshold)
+    if big_group_threshold is not None:
+        keyed = (
+            keyed.withColumn("_gn", F.count(F.lit(1)).over(Window.partitionBy(*kcols)))
+            # pin the shuffled+counted rows: the big-group probe below
+            # and the fold both read this materialization instead of
+            # recomputing the whole upstream pipeline
+            .localCheckpoint(eager=True)
+        )
+        small = keyed.where(F.col("_gn") <= big_group_threshold)
+        big = keyed.where(F.col("_gn") > big_group_threshold)
+    else:
+        # guard disabled (caller vouches no pathological group): single
+        # groupBy shuffle, nothing materialized
+        small, big = keyed, None
     empty = F.array().cast("array<string>")
     out_ddl = (
         "struct<"
@@ -213,7 +218,7 @@ def merge_movements(jsonld: DataFrame, big_group_threshold: int = 10_000) -> Dat
     # (one Arrow batch stream per group — no unbounded JVM agg buffer).
     # The branch only enters the executed plan when such a group exists,
     # so the common case never pays a Python stage.
-    if big.isEmpty():
+    if big is None or big.isEmpty():
         return small_out
 
     out_schema = ", ".join(

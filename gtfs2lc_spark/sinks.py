@@ -259,28 +259,63 @@ def turtle_message_lines(conns: DataFrame, uris: URIStrategy | None = None) -> D
 
 
 def dense_index(
-    df: DataFrame, key_cols: list[str], n_parts: int | None = None
+    df: DataFrame,
+    key_cols: list[str],
+    n_parts: int | None = None,
+    sample_size: int = 100_000,
+    seed: int = 42,
 ) -> DataFrame:
     """Distributed dense 0-based index over the total order of
     ``key_cols`` (equal keys share an index) — a global
     ``dense_rank().over(Window.orderBy(...))`` WITHOUT the
     single-reducer collapse.
 
-    Two passes: (1) range-repartition on the keys (sampled boundaries;
-    equal keys co-locate) and pin the partitioning with an eager
-    localCheckpoint so both passes see identical boundaries; (2) count
-    DISTINCT keys per partition (driver gets one row per partition),
-    broadcast the cumulative offsets as a literal array, and add them
-    to a per-partition dense_rank. No partition ever holds more than
-    its range's rows; the only global object is the P-sized offset
-    array."""
+    The bucket of a row is a PURE MONOTONE FUNCTION of its key (count
+    of driver-sampled boundary tuples below the key), so equal keys
+    co-locate by construction and nothing needs to be pinned: a narrow
+    sampling pass picks <= ``n_parts``-1 boundary key tuples, then one
+    aggregation counts DISTINCT keys per bucket (map-side combined;
+    the driver sees <= ``n_parts`` rows), and one shuffle + sort adds
+    the broadcast cumulative offset to a per-bucket dense_rank.
+
+    (The first cut range-repartitioned and PINNED the sampled
+    partitioning with an eager localCheckpoint so two passes agreed on
+    boundaries; at 21.6M-row scale that full-data materialization
+    dominated the pass — explicit boundaries make the bucket
+    recomputable instead of storable, and deterministic.)
+
+    Rows whose key compares NULL against a boundary (null key fields)
+    land in bucket 0, matching the window's default nulls-first
+    ascending order."""
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
-    parts = (
-        df.repartitionByRange(n_parts, *key_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    key_struct = F.struct(*[F.col(c) for c in key_cols])
+
+    boundaries: list[tuple] = []
+    n = df.count()
+    if n > 0 and n_parts > 1:
+        frac = min(1.0, sample_size / n)
+        sample = sorted(
+            tuple(r) for r in df.select(*key_cols).sample(False, frac, seed).collect()
+        )
+        if sample:
+            seen: set[tuple] = set()
+            for i in range(1, n_parts):
+                pick = sample[min(len(sample) - 1, (i * len(sample)) // n_parts)]
+                if pick not in seen:
+                    seen.add(pick)
+                    boundaries.append(pick)
+
+    key_types = [df.schema[c].dataType for c in key_cols]
+    bucket = F.lit(0)
+    for b in boundaries:
+        # cast literals to the exact key column types (lit(datetime) is
+        # TIMESTAMP while the column may be TIMESTAMP_NTZ; lit(int) is
+        # INT vs BIGINT) or the struct comparison fails to resolve
+        blit = F.struct(*[F.lit(v).cast(dt) for v, dt in zip(b, key_types)])
+        bucket = bucket + F.when(key_struct > blit, F.lit(1)).otherwise(F.lit(0))
+    parts = df.withColumn("_pid", bucket)
+
     counts = {
         r["_pid"]: r["n"]
         for r in parts.groupBy("_pid")
@@ -288,10 +323,10 @@ def dense_index(
         .collect()
     }
     offsets, acc = [], 0
-    for pid in range(max(counts, default=-1) + 1):
+    for pid in range(len(boundaries) + 1):
         offsets.append(acc)
         acc += counts.get(pid, 0)
-    offset_arr = F.array(*[F.lit(o).cast("long") for o in offsets]) if offsets else F.array().cast("array<long>")
+    offset_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
     w = Window.partitionBy("_pid").orderBy(*key_cols)
     return parts.withColumn(
         "_dense_idx",
