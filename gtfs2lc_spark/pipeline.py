@@ -140,6 +140,19 @@ def stop_times_to_rules(
     downstream explode needs no further exchange.
     """
     st = stop_times.withColumn("stop_sequence_int", F.col("stop_sequence").cast("int"))
+    # explicit-numPartitions exchange on the window keys (AQE-exempt):
+    # stop_times are tiny in BYTES, so adaptive coalescing would fuse
+    # this window's shuffle to ONE task — and that task carries the lag
+    # window, all four broadcast joins and the uniqueId/headsign
+    # derivation serially (profiled: a 7 s single-task stage at 1440
+    # feeds, the dominant serial term in the 2->8 scaling pair). Same
+    # trap as the J6/J7 exchanges below, same fix.
+    spark = stop_times.sparkSession
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    st = st.repartition(n_parts, "feed_id", "trip_id")
     w = Window.partitionBy("feed_id", "trip_id").orderBy("stop_sequence_int")
 
     paired = (
