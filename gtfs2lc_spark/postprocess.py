@@ -317,8 +317,17 @@ def link_next_connections(merged: DataFrame) -> DataFrame:
     return out
 
 
-def join_and_sort(jsonld: DataFrame) -> DataFrame:
+def join_and_sort(
+    jsonld: DataFrame, big_group_threshold: int | None = 10_000
+) -> DataFrame:
     """Full post-processor: merge movements, link nextConnection, order
-    ascending by the reference comparator (sort.js:210-233)."""
-    linked = link_next_connections(merge_movements(jsonld))
+    ascending by the reference comparator (sort.js:210-233).
+
+    The merged set is materialized once (eager localCheckpoint): J9
+    references it from five plan branches (lead window, split-link
+    keys, setters, last-connections, final projection), and without the
+    cut each branch would re-run the movement-merge fold — measured
+    ~11% slower and far less stable at 208k connections."""
+    merged = merge_movements(jsonld, big_group_threshold).localCheckpoint(eager=True)
+    linked = link_next_connections(merged)
     return linked.orderBy(*[F.coalesce(F.col(k), F.lit("")) for k in SORT_KEYS])
