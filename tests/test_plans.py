@@ -92,3 +92,22 @@ def test_dense_index_has_no_global_window(spark):
     # and values are the true global dense index
     rows = sorted((r.ts, r.event_id, r._dense_idx) for r in out.collect())
     assert [r[2] for r in rows] == list(range(len(rows)))
+
+
+def test_w1_window_shuffle_is_aqe_exempt(spark, feed):
+    """The W1 lag-window shuffle must be an explicit-numPartitions
+    exchange (REPARTITION_BY_NUM): stop_times are tiny in bytes, so a
+    plain window exchange would be AQE-coalesced to ONE task carrying
+    the window + broadcast joins + uniqueId derivation serially
+    (profiled 7s single-task stage; the round-3 scaling root cause)."""
+    rules = pipeline.stop_times_to_rules(
+        feed["stop_times"], feed["trips"], feed["routes"], feed["stops"]
+    )
+    plan = _executed_plan(rules)
+    repart_lines = [
+        l for l in plan.split("\n")
+        if "Exchange hashpartitioning" in l and "REPARTITION_BY_NUM" in l
+    ]
+    assert any(
+        "feed_id" in l and "trip_id" in l for l in repart_lines
+    ), plan
