@@ -286,7 +286,13 @@ def dense_index(
 
     Rows whose key compares NULL against a boundary (null key fields)
     land in bucket 0, matching the window's default nulls-first
-    ascending order."""
+    ascending order.
+
+    Contract: ``df`` must be deterministic across jobs (a table scan or
+    a checkpointed intermediate) — the distinct-count pass and the rank
+    pass are separate jobs over the same lineage, so an input derived
+    from sample()/rand() would let offsets disagree with ranks. Every
+    in-repo caller passes a scan or an eager localCheckpoint."""
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
     key_struct = F.struct(*[F.col(c) for c in key_cols])
