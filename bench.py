@@ -142,14 +142,10 @@ def main() -> None:
 
     # W4 framed-counter path: dense_index (sampled explicit boundaries +
     # per-bucket rank + broadcast offsets) over the FULL triple output —
-    # the cost of message-log framing at output scale. Input triples are
-    # checkpointed so the timing isolates the framing passes.
-    ent_fc = extraction.extract_entities(pages)
-    conns_fc = pipeline.convert(
-        ent_fc["stop_times"], ent_fc["trips"], ent_fc["routes"], ent_fc["stops"],
-        ent_fc["calendar"], ent_fc["calendar_dates"], salt_n=64,
-    )
-    triples_fc = sinks.connections_to_triples(conns_fc).localCheckpoint(eager=True)
+    # the cost of message-log framing at output scale. The headline's
+    # triples_df is checkpointed (one untimed pipeline pass) so the
+    # timing isolates the framing passes.
+    triples_fc = triples_df.localCheckpoint(eager=True)
     fc_runs = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -254,8 +254,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).localCheckpoint(eager=True)
-    converged = False
-    for _ in range(max_iters):
+    def propagate(labels: DataFrame) -> tuple[DataFrame, int]:
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
@@ -276,10 +275,23 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        return new_labels, changed
+
+    converged = False
+    for _ in range(max_iters):
+        labels, changed = propagate(labels)
         if changed == 0:
             converged = True
             break
+    if not converged:
+        # the final budgeted round still changed labels — but the change
+        # may have COMPLETED the propagation exactly at the budget
+        # (component diameter == max_iters). One probe round decides
+        # instead of raising on correct labels.
+        probed, changed = propagate(labels)
+        if changed == 0:
+            converged = True
+        labels = probed
     if not converged:
         msg = (
             f"connected_components did not converge within max_iters={max_iters} "

@@ -104,6 +104,14 @@ def merge_movements(
     concat — are routed to the exact sequential pandas merge
     (``_merge_group_pdf``, O(n) per group, Arrow-batched); normal
     collision-sized groups (2-3 rows) never leave the JVM.
+
+    NOTE: with the guard enabled (default) this function is EAGER — it
+    materializes the keyed input (localCheckpoint) and runs a driver
+    probe at call time, because the oversized-group routing is a
+    data-dependent plan decision. Callers that build plans
+    speculatively, or vouch that groups are collision-sized, should
+    pass ``big_group_threshold=None`` for a fully lazy single-shuffle
+    plan.
     """
     cols = jsonld.columns
     kcols = [f"_k_{k}" for k in MOVEMENT_KEYS]

@@ -301,8 +301,13 @@ def dense_index(
     n = df.count()
     if n > 0 and n_parts > 1:
         frac = min(1.0, sample_size / n)
+        # null-containing keys are excluded from boundary candidates
+        # (they sort before every boundary -> bucket 0, the window's
+        # nulls-first order) — and None tuples don't sort in Python
         sample = sorted(
-            tuple(r) for r in df.select(*key_cols).sample(False, frac, seed).collect()
+            tuple(r)
+            for r in df.select(*key_cols).sample(False, frac, seed).collect()
+            if None not in tuple(r)
         )
         if sample:
             seen: set[tuple] = set()
@@ -322,10 +327,15 @@ def dense_index(
         bucket = bucket + F.when(key_struct > blit, F.lit(1)).otherwise(F.lit(0))
     parts = df.withColumn("_pid", bucket)
 
+    # countDistinct over the STRUCT, not the bare columns: SQL
+    # count(distinct a, b) drops rows where any column is null, which
+    # would leave every later bucket's offset short by the null-key
+    # group and collide indexes; a struct with null fields is itself
+    # non-null and counts as one distinct key
     counts = {
         r["_pid"]: r["n"]
         for r in parts.groupBy("_pid")
-        .agg(F.countDistinct(*key_cols).alias("n"))
+        .agg(F.countDistinct(key_struct).alias("n"))
         .collect()
     }
     offsets, acc = [], 0

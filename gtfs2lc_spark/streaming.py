@@ -81,21 +81,48 @@ def process_pages_batch(
         return
     # A re-crawled url (same url detected again in a later batch — the
     # natural update path for a continuously-crawled corpus) must
-    # REPLACE its earlier staged rows, not union with them: keep only
-    # each url's newest batch via max_by on the staging partition
-    # column. (A url whose newer crawl no longer contains GTFS content
-    # is not re-detected, so its last detected snapshot remains staged —
+    # REPLACE its earlier staged rows, not union with them. Order of
+    # operations matters twice over:
+    #
+    # - newest-per-url is taken over ALL staged rows BEFORE the feed_id
+    #   filter: a url whose newest crawl moved to a different feed must
+    #   not resurrect its stale snapshot when its old feed is touched;
+    # - the winner is max() of the full (batch, ...data) struct, so two
+    #   crawls of one url within the SAME batch resolve to a
+    #   deterministic row (lexicographic on content) — a crash-replayed
+    #   batch reproduces its delta byte-for-byte.
+    #
+    # (A url whose newer crawl no longer contains GTFS content is not
+    # re-detected, so its last detected snapshot remains staged —
     # retraction would need an explicit tombstone, out of scope.)
-    staged_all = spark.read.parquet(staging_dir).where(F.col("feed_id").isin(feeds))
+    staged_all = spark.read.parquet(staging_dir)
     data_cols = [c for c in staged_all.columns if c != "batch"]
+    # cheap per-trigger preselect (2-column pruned scan): urls that have
+    # EVER carried a touched feed — the full-width body scan below only
+    # reads these urls' rows, keeping per-trigger cost proportional to
+    # the touched feeds, not the corpus
+    touched_urls = (
+        staged_all.select("url", "feed_id")
+        .where(F.col("feed_id").isin(feeds))
+        .select("url")
+        .distinct()
+    )
     staged = (
-        staged_all.groupBy("url")
+        staged_all.join(F.broadcast(touched_urls), "url")
+        .groupBy("url")
         .agg(
-            F.max_by(
-                F.struct(*data_cols), F.col("batch").cast("long")
+            F.max(
+                F.struct(
+                    F.col("batch").cast("long").alias("_b"),
+                    *[F.col(c).alias(c) for c in data_cols],
+                )
             ).alias("_s")
         )
         .select("_s.*")
+        .drop("_b")
+        # the WINNER's feed decides membership: a url whose newest crawl
+        # moved to an untouched feed is dropped here, not resurrected
+        .where(F.col("feed_id").isin(feeds))
     )
     e = entities_from_detected(staged)
     conns = pipeline.convert(

@@ -135,3 +135,20 @@ def test_connected_components_nonconvergence_is_loud(spark):
         for r in dedup.connected_components(pairs, max_iters=20).collect()
     }
     assert full == {i: 0 for i in range(16)}
+
+
+def test_connected_components_converges_exactly_at_budget(spark):
+    """Boundary case: component diameter == max_iters. The final
+    budgeted round completes the propagation; the probe round must
+    recognize convergence instead of raising on correct labels."""
+    from gtfs2lc_spark.datapipe import dedup
+
+    # 9-node chain: diameter 8 -> label 0 reaches node 8 on round 8
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(pairs, max_iters=8).collect()
+    }
+    assert got == {i: 0 for i in range(9)}

@@ -252,3 +252,22 @@ def test_ntriples_literal_escaping_round_trip(spark, feed):
         .replace('\\"', '"').replace("\\\\", "\\")
     )
     assert unescaped == hostile
+
+
+def test_dense_index_null_keys(spark):
+    """Null-containing keys must not crash boundary sampling and must
+    occupy their own dense slots (nulls-first): offsets must account
+    for them so no two distinct keys share an index."""
+    rows = [(None, 1), (None, 1), ("a", None), ("a", 1), ("b", 2), ("b", 2), ("c", None)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = sinks.dense_index(df, ["k", "v"], n_parts=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault((r.k, r.v), set()).add(r._dense_idx)
+    # equal keys share one index; distinct keys get distinct indexes
+    assert all(len(s) == 1 for s in got.values())
+    idx = {k: s.pop() for k, s in got.items()}
+    assert sorted(idx.values()) == list(range(len(idx)))
+    # nulls-first global order
+    ordered = sorted(idx, key=lambda k: idx[k])
+    assert ordered[0] == (None, 1)

@@ -275,3 +275,41 @@ def test_recrawled_url_replaces_staged_page(spark, tmp_path):
         e["calendar"], e["calendar_dates"], salt_n=8,
     )
     assert conns.count() == fixtures.SAMPLE_FEED_CONNECTIONS
+
+
+def test_recrawled_url_moving_feeds_not_resurrected(spark, tmp_path):
+    """A url whose NEWEST crawl moved to a different feed must not
+    resurrect its stale snapshot when its old feed is touched later."""
+    from pyspark.sql import functions as FF
+
+    tmp = str(tmp_path)
+    store = HistoryStore(spark, f"{tmp}/history")
+    pages_a = fixtures.pages_df(spark, feed_id="feedA", noise_pages=0).cache()
+
+    # batch 0: full feedA
+    streaming.process_pages_batch(
+        spark, pages_a, 0, store, f"{tmp}/staging", f"{tmp}/out", salt_n=8
+    )
+    n0 = spark.read.text(f"{tmp}/out/batch=*").count()
+    assert n0 == fixtures.SAMPLE_FEED_CONNECTIONS
+
+    # batch 1: feedA's stop_times URL is re-crawled, now carrying feedB
+    # content (the url moved feeds)
+    moved = pages_a.where(FF.col("url").contains("stop_times")).select(
+        "url", "warc_ts", "html",
+        FF.regexp_replace("text", "feed=feedA", "feed=feedB").alias("text"),
+        "lang",
+    )
+    streaming.process_pages_batch(
+        spark, moved, 1, store, f"{tmp}/staging", f"{tmp}/out", salt_n=8
+    )
+
+    # batch 2: re-touch feedA (re-crawl of its trips page, same content).
+    # feedA's staged view must NOT include the moved stop_times url's
+    # stale feedA snapshot -> feedA has no stop_times -> no new
+    # connections beyond the (already-emitted) originals
+    touch_a = pages_a.where(FF.col("url").contains("trips"))
+    streaming.process_pages_batch(
+        spark, touch_a, 2, store, f"{tmp}/staging", f"{tmp}/out", salt_n=8
+    )
+    assert spark.read.text(f"{tmp}/out/batch=2").count() == 0
