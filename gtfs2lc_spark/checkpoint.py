@@ -165,12 +165,14 @@ def convert_incremental(
     """Full incremental conversion step: anti-join against history, emit
     the delta, commit it as a new snapshot. Returns (delta, snapshot).
 
-    NOTE: the delta DataFrame is recomputable from the committed
-    snapshot — callers that need the rows should read them back or
-    persist before consuming twice.
+    The delta is materialized ONCE (eager localCheckpoint) before the
+    commit: it has two consumers — the snapshot write here and the
+    caller's output write — and without the cut each would re-execute
+    the whole extraction+conversion+anti-join DAG (the streaming path
+    applies the same fix in process_pages_batch).
     """
     if fresh:
         store.fresh()
-    delta = store.differential(connections)
+    delta = store.differential(connections).localCheckpoint(eager=True)
     snap = store.commit(delta, run_info)
     return delta, snap

@@ -53,13 +53,14 @@ def stopword_hits(text: Column, lang: str) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Heuristic language id: argmax stopword-hit count across known
-    languages; ties broken by language code order; zero hits -> 'und'."""
+    languages; ties broken toward the lexicographically GREATEST code
+    (array_max compares (hits, code) by value, ignoring construction
+    order — the gate oracle's CASE precedence fr > es > en > de mirrors
+    exactly this); zero hits -> 'und'."""
     scored = F.array(
         *[
             F.struct(
                 stopword_hits(text, code).alias("hits"),
-                # invert code ordering so greatest() prefers the earlier
-                # code on ties (struct compare is field-order lexicographic)
                 F.lit(code).alias("code"),
             )
             for code in sorted(STOPWORDS, reverse=True)

@@ -79,7 +79,8 @@ def detect_gtfs(text: pd.Series) -> pd.DataFrame:
 
 
 def detect_pages(pages: DataFrame, detect_partitions: int | None = None) -> DataFrame:
-    """pages -> (url, gtfs_file, feed_id, header, body) for GTFS pages only.
+    """pages -> (url, warc_ts, gtfs_file, feed_id, header, body), one
+    row per url (newest crawl wins), GTFS pages only.
 
     ``detect_partitions`` bounds the pandas-UDF stage's task count
     (default: the session's defaultParallelism). Every Python task costs
@@ -88,14 +89,30 @@ def detect_pages(pages: DataFrame, detect_partitions: int | None = None) -> Data
     stay as parallel as the scan likes.
     """
     prefiltered = pages.where(F.col("text").startswith(GTFS_MARKER)).select(
-        "url", "text"
+        "url", "warc_ts", "text"
     )
     n = detect_partitions or pages.sparkSession.sparkContext.defaultParallelism
     prefiltered = prefiltered.repartition(n)
-    return (
+    det = (
         prefiltered.withColumn("g", detect_gtfs("text"))
         .where(F.col("g.gtfs_file").isNotNull())
-        .select("url", "g.gtfs_file", "g.feed_id", "g.header", "g.body")
+        .select("url", "warc_ts", "g.gtfs_file", "g.feed_id", "g.header", "g.body")
+    )
+    # Common-Crawl-style input re-crawls pages: the NEWEST crawl of a
+    # url must replace older ones, or every duplicated stop_times page
+    # doubles its rows and the lag window pairs garbage (the streaming
+    # path already dedups its staging per url; this is the batch-path
+    # equivalent). Deterministic: ties on warc_ts resolve by content.
+    # Runs on the post-detection set (~orders of magnitude smaller than
+    # pages), one small shuffle.
+    return (
+        det.groupBy("url")
+        .agg(
+            F.max(
+                F.struct("warc_ts", "gtfs_file", "feed_id", "header", "body")
+            ).alias("_s")
+        )
+        .select("url", "_s.*")
     )
 
 
@@ -202,7 +219,11 @@ def entities_from_detected(detected: DataFrame) -> dict[str, DataFrame]:
             lines = sub.select(
                 "feed_id",
                 "url",
-                F.explode(F.split("body", "\n")).alias("line"),
+                # posexplode: the in-file line number is the reference's
+                # stream order — dimension stores are key->row maps
+                # where the LAST row wins (LevelDB put), so consumers
+                # need the order to dedupe duplicate keys faithfully
+                F.posexplode(F.split("body", "\n")).alias("_line", "line"),
             ).where(F.length(F.trim("line")) > 0)
             # GTFS quoting: '"' both as quote and as the "" escape
             # (reference: fast-csv with quote '"', StopTimes2Cxs.js:31-33)
@@ -221,6 +242,7 @@ def entities_from_detected(detected: DataFrame) -> dict[str, DataFrame]:
                     ],
                     "feed_id",
                     "url",
+                    F.col("_line").cast("long").alias("_line"),
                 )
             )
         name = fname.removesuffix(".txt")
@@ -230,7 +252,10 @@ def entities_from_detected(detected: DataFrame) -> dict[str, DataFrame]:
                 df = df.unionByName(b)
             out[name] = df
         else:
-            schema = ", ".join([f"`{c}` string" for c in cols] + ["feed_id string", "url string"])
+            schema = ", ".join(
+                [f"`{c}` string" for c in cols]
+                + ["feed_id string", "url string", "`_line` long"]
+            )
             out[name] = detected.sparkSession.createDataFrame([], schema)
 
     if rejected:

@@ -173,10 +173,12 @@ def entity_dfs(
         data = []
         for fid in feeds:
             url = page_url(fid, fname)
-            for r in rows:
+            for line_no, r in enumerate(rows):
                 vals = [(r[i] if i is not None and i < len(r) else "") for i in idx]
-                data.append((*vals, fid, url))
-        schema = _string_struct(*cols, "feed_id", "url")
+                data.append((*vals, fid, url, line_no))
+        # _line mirrors extraction's posexplode line number: file-order
+        # lineage for last-row-wins dimension dedup
+        schema = _string_struct(*cols, "feed_id", "url").add("_line", "long")
         name = fname.removesuffix(".txt")
         out[name] = spark.createDataFrame(data, schema)
     return out

@@ -62,6 +62,10 @@ def expand_services(calendar: DataFrame, calendar_dates: DataFrame) -> DataFrame
     insertion order (order is otherwise insignificant — consumers treat
     it as a set).
     """
+    # duplicate-keyed calendar rows: the reference expands each row and
+    # PUTs into servicesDB — last row per service_id wins
+    calendar = keep_last_per_key(calendar, "service_id")
+
     # A1 — group exceptions per service (StoreManager.js:52-70)
     exceptions = calendar_dates.groupBy("feed_id", "service_id").agg(
         F.sort_array(
@@ -79,10 +83,13 @@ def expand_services(calendar: DataFrame, calendar_dates: DataFrame) -> DataFrame
     flags = F.array(
         "sunday", "monday", "tuesday", "wednesday", "thursday", "friday", "saturday"
     )
-    days = F.sequence(
-        F.to_date("start_date", "yyyyMMdd"),
-        F.to_date("end_date", "yyyyMMdd"),
-        F.expr("interval 1 day"),
+    # guard reversed/unparseable ranges: the reference's expansion loop
+    # (for d = start; d <= end; d++) runs zero iterations when
+    # end < start, but F.sequence THROWS on reversed boundaries — one
+    # malformed calendar row in one feed must not kill a corpus run
+    start_d, end_d = F.to_date("start_date", "yyyyMMdd"), F.to_date("end_date", "yyyyMMdd")
+    days = F.when(start_d <= end_d, F.sequence(start_d, end_d, F.expr("interval 1 day"))).otherwise(
+        F.array().cast("array<date>")
     )
     weekday_days = calendar.select(
         "feed_id",
@@ -115,6 +122,37 @@ def expand_services(calendar: DataFrame, calendar_dates: DataFrame) -> DataFrame
         "left_anti",
     ).select("feed_id", "service_id", F.col("added").alias("dates"))
     return with_exc.unionByName(flush)
+
+
+def keep_last_per_key(df: DataFrame, *key_cols: str) -> DataFrame:
+    """One row per (feed_id, *key_cols), reproducing the reference's
+    key->row store semantics: LevelDB ``put`` overwrites, so the LAST
+    row in stream (file) order wins (lib/stores/StoreManager.js:8-35).
+
+    File order comes from the ``_line`` lineage column (posexplode line
+    number / CSV row id), tie-broken by url for feeds spanning pages.
+    Inputs without order lineage get a deterministic
+    lexicographically-greatest pick instead (documented arbitrary —
+    duplicate keys are malformed GTFS either way; what matters is ONE
+    row, deterministically, instead of a join multiply)."""
+    cols = df.columns
+    data = [c for c in cols if c != "feed_id" and c not in key_cols]
+    if "_line" in cols:
+        order = (
+            F.struct(F.col("url"), F.col("_line"))
+            if "url" in cols
+            else F.col("_line")
+        )
+    else:
+        order = F.struct(*[F.col(c) for c in data])
+    row = F.struct(*[F.col(c).alias(c) for c in data])
+    return (
+        df.groupBy("feed_id", *key_cols)
+        .agg(F.max_by(row, order).alias("_row"))
+        .select(
+            "feed_id", *key_cols, *[F.col(f"_row.{c}").alias(c) for c in data]
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -172,14 +210,21 @@ def stop_times_to_rules(
     # J1-J3 — dimension lookups. Prefixed copies of every dim column plus
     # a join-key column named exactly like the fact side, so the joins are
     # name-equi (keys dedupe automatically) and all stay broadcast.
+    #
+    # The reference's stores are key->row MAPS (LevelDB put: the LAST
+    # row per key wins, StoreManager.js:8-35) — a dimension file with a
+    # duplicated key must yield ONE lookup row, not multiply the fact
+    # join. keep_last_per_key reproduces that with a tiny aggregation
+    # on the (small, broadcast-side) dimension.
     def dim(df: DataFrame, prefix: str, key_src: str, key_as: str) -> DataFrame:
-        return df.select(
+        picked = keep_last_per_key(df, key_src)
+        return picked.select(
             "feed_id",
             F.col(key_src).alias(key_as),
             *[
                 F.col(c).alias(f"{prefix}{c}")
-                for c in df.columns
-                if c not in ("feed_id", "url")
+                for c in picked.columns
+                if c not in ("feed_id", "url", "_line")
             ],
         )
 

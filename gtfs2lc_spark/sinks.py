@@ -358,10 +358,14 @@ def triples_with_message_counter(
     shares a messageCounter ordinal (lib/Connections2Triples.js:22-26,
     100-106; renumbering lib/gtfs2connections.js:199-223).
 
-    The counter is a TOTAL order over connections (the reference's
-    merged output order) — computed with ``dense_index`` (range
-    partition + per-partition rank + broadcast offsets), so the framed
-    serialization scales instead of collapsing onto one reducer."""
+    The counter is a deterministic TOTAL order over connection subject
+    URIs, computed with ``dense_index`` so the framed serialization
+    scales instead of collapsing onto one reducer. The preserved
+    invariant is the reference's structural one — every message frames
+    exactly one connection, ordinals are dense and unique — NOT
+    ordinal-for-ordinal parity with the reference's worker-stream
+    merge order (which depends on its thread scheduling and shard
+    round-robin; URI order is reproducible, stream order is not)."""
     uris = uris or URIStrategy(cc=ConnectionColumns())
     triples = connections_to_triples(conns, uris)
     return dense_index(triples, ["subj"], n_parts).withColumnRenamed(

@@ -39,7 +39,7 @@ def read_gtfs_dir(
             if fname in REQUIRED_FILES:
                 raise FileNotFoundError(f"required GTFS file missing: {fpath}")
             out[name] = spark.createDataFrame(
-                [], _string_struct(*cols, "feed_id", "url")
+                [], _string_struct(*cols, "feed_id", "url").add("_line", "long")
             )
             continue
         raw = (
@@ -56,5 +56,10 @@ def read_gtfs_dir(
             *sel,
             F.lit(feed_id).alias("feed_id"),
             F.lit(f"file://{fpath}").alias("url"),
+            # file-order lineage for last-row-wins dimension dedup
+            # (LevelDB put semantics); monotonically_increasing_id is
+            # file-ordered within each split — exact for the
+            # single-split files GTFS dirs are in practice
+            F.monotonically_increasing_id().alias("_line"),
         )
     return out

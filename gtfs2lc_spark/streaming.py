@@ -123,6 +123,10 @@ def process_pages_batch(
         # the WINNER's feed decides membership: a url whose newest crawl
         # moved to an untouched feed is dropped here, not resurrected
         .where(F.col("feed_id").isin(feeds))
+        # materialize once: entities_from_detected embeds this subtree
+        # into ~6 entity lineages plus two driver collects — Catalyst
+        # doesn't share sub-plans (same rationale as extract_entities)
+        .localCheckpoint(eager=True)
     )
     e = entities_from_detected(staged)
     conns = pipeline.convert(

@@ -208,9 +208,19 @@ def _resolve_var(
             "arrivalTime": cc.arrival_ts,
         }[which]
         if source not in ("trips", "connection"):
-            raise TemplateError(f"Unsupported template variable: {name}")
+            # reference resolveValue: unknown source -> null -> '' fill
+            return F.lit(None).cast("string")
         return cc.local_fmt(ts, pattern)
-    return _resolve_path(name, cc, stop_prefix)
+    if _PATH_RE.match(name):
+        return _resolve_path(name, cc, stop_prefix)
+    # Reference parity (resolveValue, lib/URIStrategy.js:74-123): a bare
+    # template variable with no resolver entry and no recognized source
+    # yields null, and uri-templates fills it as '' — so a PARTIAL
+    # baseUris config (e.g. only a stop template, no 'resolve' key)
+    # keeps converting with empty segments instead of crashing. Invalid
+    # RESOLVER EXPRESSIONS still raise (compile_resolver above), same
+    # as the reference's executable-expression rejection.
+    return F.lit(None).cast("string")
 
 
 def compile_template(

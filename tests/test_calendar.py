@@ -71,3 +71,37 @@ def test_added_date_also_removed_wins(spark):
     ).withColumn("feed_id", F.lit("f")).withColumn("url", F.lit("u"))
     out = {r.service_id: sorted(r.dates) for r in pipeline.expand_services(cal, cd).collect()}
     assert out["S"] == ["20070101", "20070102"]
+
+
+def test_reversed_calendar_range_drops_not_crashes(spark):
+    """One malformed calendar row (end_date < start_date) must expand to
+    ZERO weekday days — the reference's for-loop runs no iterations —
+    instead of failing the whole corpus run (F.sequence throws on
+    reversed boundaries)."""
+    from pyspark.sql import functions as F
+
+    from gtfs2lc_spark import pipeline
+    from gtfs2lc_spark.schemas import _string_struct
+
+    cal = spark.createDataFrame(
+        [
+            ("BAD", "1", "1", "1", "1", "1", "1", "1", "20070201", "20070101", "f", "u"),
+            ("OK", "0", "0", "0", "0", "0", "0", "1", "20070101", "20070114", "f", "u"),
+        ],
+        _string_struct(
+            "service_id", "monday", "tuesday", "wednesday", "thursday",
+            "friday", "saturday", "sunday", "start_date", "end_date",
+            "feed_id", "url",
+        ),
+    )
+    cd = spark.createDataFrame(
+        [("BAD", "20070301", "1", "f", "u")],
+        _string_struct("service_id", "date", "exception_type", "feed_id", "url"),
+    )
+    got = {
+        r.service_id: r.dates
+        for r in pipeline.expand_services(cal, cd).collect()
+    }
+    # BAD keeps only its added exception day; OK expands its Sundays
+    assert got["BAD"] == ["20070301"]
+    assert got["OK"] == ["20070107", "20070114"]

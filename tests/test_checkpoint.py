@@ -38,7 +38,8 @@ def test_new_service_dates_emit_only_delta(spark, feed, store, connections):
     # extend FULLW by one extra day via calendar_dates
     extra = spark.createDataFrame(
         [("FULLW", "20070701", "1", "samplefeed",
-          "https://transit.example.org/feeds/samplefeed/calendar_dates.txt")],
+          "https://transit.example.org/feeds/samplefeed/calendar_dates.txt",
+          999)],
         feed["calendar_dates"].schema,
     )
     cd2 = feed["calendar_dates"].unionByName(extra)

@@ -149,3 +149,35 @@ def test_malformed_pages_yield_nothing(spark):
     )
     e = extraction.extract_entities(pages)
     assert e["stops"].count() == 0
+
+
+def test_recrawled_page_newest_wins_batch_path(spark):
+    """Common-Crawl re-crawls: two crawls of the same stop_times url in
+    one batch pages table must yield ONE detected row (the newest), not
+    doubled stop_times rows that corrupt the lag pairing."""
+    from pyspark.sql import functions as F
+
+    from gtfs2lc_spark import fixtures, pipeline
+    from gtfs2lc_spark.extraction import detect_pages, extract_entities
+
+    pages = fixtures.pages_df(spark, noise_pages=0)
+    older = pages.where(F.col("url").contains("stop_times")).select(
+        "url",
+        (F.col("warc_ts") - F.expr("interval 365 days")).alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    doubled = pages.unionByName(older)
+
+    det = detect_pages(doubled, detect_partitions=2)
+    assert det.groupBy("url").count().agg(F.max("count")).first()[0] == 1
+    # the NEWEST crawl's timestamp survives
+    st = det.where(F.col("url").contains("stop_times")).first()
+    orig_ts = pages.where(F.col("url").contains("stop_times")).first().warc_ts
+    assert st.warc_ts == orig_ts
+
+    e = extract_entities(doubled)
+    conns = pipeline.convert(
+        e["stop_times"], e["trips"], e["routes"], e["stops"],
+        e["calendar"], e["calendar_dates"], salt_n=8,
+    )
+    assert conns.count() == fixtures.SAMPLE_FEED_CONNECTIONS

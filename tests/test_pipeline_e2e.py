@@ -169,3 +169,33 @@ def test_dst_transition_days(spark):
     # fall back: local midnight 22:00Z; +2.5h = 00:30Z; +26h = 00:00Z Oct 29
     # (wall-clock 'add 26 hours' would say 01:00Z — the 25-hour-day trap)
     assert got["20071028"] == ("2007-10-28T00:30:00.000Z", "2007-10-29T00:00:00.000Z")
+
+
+def test_duplicate_dimension_key_last_wins(spark, feed):
+    """LevelDB put semantics (StoreManager.js:8-35): a duplicated
+    dimension key keeps ONE row — the last in file order — instead of
+    multiplying every joined connection."""
+    from pyspark.sql import functions as F
+
+    from gtfs2lc_spark import fixtures, pipeline
+
+    # duplicate one stop row with a changed name; append AFTER the
+    # original (higher _line) so it must win
+    stops = feed["stops"]
+    max_line = stops.agg(F.max("_line")).first()[0] if "_line" in stops.columns else None
+    dup = stops.where(F.col("stop_id") == "AMV").withColumn(
+        "stop_name", F.lit("Renamed Amargosa Valley")
+    )
+    if max_line is not None:
+        dup = dup.withColumn("_line", F.lit(max_line + 1).cast("long"))
+    stops2 = stops.unionByName(dup)
+
+    conns = pipeline.convert(
+        feed["stop_times"], feed["trips"], feed["routes"], stops2,
+        feed["calendar"], feed["calendar_dates"], salt_n=None,
+    )
+    # no join multiply
+    assert conns.count() == fixtures.SAMPLE_FEED_CONNECTIONS
+    # and the later row won
+    amv = conns.where(F.col("arr_stop_id") == "AMV").first()
+    assert amv.arr_stop_name == "Renamed Amargosa Valley"

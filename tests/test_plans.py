@@ -18,13 +18,14 @@ def _executed_plan(df) -> str:
 
 
 def test_scan_pushdown_and_pruning(spark, pages_parquet):
-    """The GTFS-marker prefilter and the (url, text) projection must
-    reach the parquet scan — html/warc_ts/lang are never read."""
+    """The GTFS-marker prefilter and the (url, warc_ts, text)
+    projection must reach the parquet scan — html/lang are never read
+    (warc_ts is read for the newest-crawl-per-url dedup)."""
     det = extraction.detect_pages(spark.read.parquet(pages_parquet), detect_partitions=2)
     plan = _executed_plan(det)
     assert "StringStartsWith(text,#gtfs-file:)" in plan
     scan_line = next(l for l in plan.split("\n") if "FileScan parquet" in l)
-    assert "ReadSchema: struct<url:string,text:string>" in scan_line
+    assert "ReadSchema: struct<url:string,warc_ts:timestamp,text:string>" in scan_line
     assert "html" not in scan_line
 
 

@@ -121,3 +121,17 @@ def test_percent_encode_randomized_parity(spark):
     got = {r.i: r.e for r in df.select("i", percent_encode(F.col("v")).alias("e")).collect()}
     for i, s in enumerate(samples):
         assert got[i] == quote(s, safe=""), repr(s)
+
+
+def test_partial_config_degrades_like_reference(conn_df):
+    """A partial baseUris config (stop override, no 'resolve' key) must
+    keep converting: the default connection template's {depStop} has no
+    resolver, and the reference's resolveValue yields null -> '' fill
+    (URIStrategy.js:74-123) rather than an error."""
+    uris = URIStrategy({"stop": "http://my.org/stops/{stops.stop_id}"})
+    row = conn_df.select(
+        uris.stop_id("dep_").alias("stop"), uris.connection_id().alias("conn")
+    ).first()
+    assert row.stop == "http://my.org/stops/BEATTY%20AIRPORT"
+    # {depStop} segment renders empty, the rest of the template holds
+    assert row.conn == "http://example.org/connections/20070106//T1%20x"
