@@ -353,6 +353,14 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split_bucket", "split")
 
 
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicated-line / duplicated
+    word-trigram fractions) — boilerplate/spam indicators for corpus
+    filtering."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.repetition_features(d).drop("text")
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus sampling: membership = seeded hash bucket
     below rate*10000 — stable across runs, engines and re-reads
@@ -431,6 +439,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "hash_split": _q_hash_split,
         "hash_sample": _q_hash_sample,
+        "text_repetition": _q_text_repetition,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
@@ -874,6 +883,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source
             FROM documents
             WHERE {_DUCK_H32.format(s="'sample-v1' || '|' || CAST(doc_id AS VARCHAR)")} % 10000 < 2500
+        """,
+        "text_repetition": """
+            WITH seg AS (
+              SELECT doc_id,
+                list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                            l -> l <> '') AS lines,
+                list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '') AS w
+              FROM documents
+            ), tri AS (
+              SELECT doc_id, lines,
+                list_transform(
+                  range(1, greatest(len(w) - 2, 0) + 1),
+                  i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS trigrams
+              FROM seg
+            )
+            SELECT doc_id,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
+              round(CASE WHEN len(lines) > 0
+                    THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                    ELSE CAST(0 AS DOUBLE) END, 6) AS dup_lines_frac,
+              CAST(len(trigrams) AS BIGINT) AS n_trigrams,
+              CAST(len(trigrams) - len(list_distinct(trigrams)) AS BIGINT) AS dup_trigrams,
+              round(CASE WHEN len(trigrams) > 0
+                    THEN CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams)
+                    ELSE CAST(0 AS DOUBLE) END, 6) AS dup_trigrams_frac
+            FROM tri
         """,
         "winnowing_fingerprints": f"""
             SELECT doc_id,

@@ -106,6 +106,51 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: duplicated-line count/fraction
+    and duplicated n-gram (word-trigram) fraction per document — the
+    classic boilerplate/spam indicators a web-corpus filter thresholds
+    on. Pure array expressions, narrow map-side pass.
+
+    A "line" is a trimmed, non-empty '\\n'-segment; a segment (line or
+    trigram) is duplicated when it occurs more than once WITHIN the
+    document. Fractions are 0 for documents with no segments.
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    words = F.filter(F.split(F.lower(t), r"[^a-z]+"), lambda w: w != "")
+    # word trigrams, same construction as the dedup shingles
+    tri = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def dup_stats(arr, prefix: str):
+        n = F.size(arr).cast("long")
+        dups = (F.size(arr) - F.size(F.array_distinct(arr))).cast("long")
+        frac = F.when(n > 0, dups.cast("double") / n.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+        return [
+            n.alias(f"n_{prefix}"),
+            dups.alias(f"dup_{prefix}"),
+            F.round(frac, 6).alias(f"dup_{prefix}_frac"),
+        ]
+
+    return df.select("*", *dup_stats(lines, "lines"), *dup_stats(tri, "trigrams"))
+
+
 def corpus_token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-shape analytics for pipeline tuning: documents bucketed by
     log2 token-count bands (plus mean quality signals per band). One

@@ -306,3 +306,26 @@ def test_hash_split_and_sample_deterministic(spark):
     kept2 = {r.doc_id for r in text.hash_sample(d2, 0.25).collect()}
     assert kept1 == {k for k in kept2 if k < 2000}
     assert 0.2 < len(kept2) / 4000 < 0.3
+
+
+def test_repetition_features(spark):
+    """Gopher-style duplicated-line / duplicated-trigram signals."""
+    from gtfs2lc_spark.datapipe import text as tx
+
+    doc = "buy now\nbuy now\nunique line\n\n  buy now  \n"
+    spam = "spam alert " * 4  # 8 words -> 6 trigrams over 2 distinct
+    d = spark.createDataFrame([(1, doc), (2, "short"), (3, ""), (4, spam)],
+                              "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.repetition_features(d).collect()}
+    r1 = got[1]
+    # 4 non-empty trimmed lines, 'buy now' x3 -> 2 duplicated beyond first
+    assert (r1.n_lines, r1.dup_lines) == (4, 2)
+    assert r1.dup_lines_frac == 0.5
+    # the 6 word-trigrams of doc 1 are all distinct
+    assert (r1.n_trigrams, r1.dup_trigrams) == (6, 0)
+    r4 = got[4]
+    assert (r4.n_trigrams, r4.dup_trigrams) == (6, 4)
+    assert r4.dup_trigrams_frac == round(4 / 6, 6)
+    # degenerate docs: no segments -> zero fractions, no crash
+    assert got[2].n_trigrams == 0 and got[2].dup_trigrams_frac == 0.0
+    assert got[3].n_lines == 0 and got[3].dup_lines_frac == 0.0
