@@ -34,6 +34,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 PAIR_COLS = ("feed_id", "unique_id", "service_date")
 
 
@@ -165,7 +167,9 @@ def convert_incremental(
     """Full incremental conversion step: anti-join against history, emit
     the delta, commit it as a new snapshot. Returns (delta, snapshot).
 
-    The delta is materialized ONCE (eager localCheckpoint) before the
+    The delta is materialized ONCE (``materialize``, strategy set by
+    spark.gtfs2lc.materialize — local checkpoint in the sandbox,
+    reliable checkpoint / parquet staging on a cluster) before the
     commit: it has two consumers — the snapshot write here and the
     caller's output write — and without the cut each would re-execute
     the whole extraction+conversion+anti-join DAG (the streaming path
@@ -173,6 +177,6 @@ def convert_incremental(
     """
     if fresh:
         store.fresh()
-    delta = store.differential(connections).localCheckpoint(eager=True)
+    delta = materialize(store.differential(connections), "j7-delta")
     snap = store.commit(delta, run_info)
     return delta, snap

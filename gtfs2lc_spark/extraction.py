@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from .fixtures import GTFS_MARKER
+from .materialize import materialize
 from .schemas import GTFS_FILE_COLS
 
 _DETECT_SCHEMA = T.StructType(
@@ -126,7 +127,9 @@ def extract_entities(
     (lib/stores/StoreManager.js:56,72-75).
 
     ``persist`` (default) materializes the detected-pages intermediate
-    ONCE via an eager localCheckpoint. Two reasons, both load-bearing:
+    ONCE (``materialize``; local checkpoint by default, reliable
+    checkpoint / parquet staging via spark.gtfs2lc.materialize on a
+    cluster). Two reasons, both load-bearing:
 
     1. Catalyst does not share common sub-plans: the six entity
        lineages (and every downstream job) would each re-run the pages
@@ -144,7 +147,7 @@ def extract_entities(
     """
     detected = detect_pages(pages, detect_partitions)
     if persist:
-        detected = detected.localCheckpoint(eager=True)
+        detected = materialize(detected, "detected-pages")
     return entities_from_detected(detected)
 
 

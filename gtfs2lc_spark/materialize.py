@@ -1,0 +1,74 @@
+"""Pluggable reliable materialization for multi-consumer intermediates.
+
+Several operators materialize an intermediate DataFrame that is read by
+multiple downstream plan branches or jobs (the detected-pages staging,
+the J7 delta, the J8/J9 merged movement set, streaming batch staging).
+In the single-JVM sandbox ``localCheckpoint`` is the right tool — but
+local checkpoints live in EXECUTOR storage: on a real cluster, losing
+one executor invalidates them and fails the job, which is exactly the
+failure mode the resumability story (BASELINE.json north_rule:
+"resumable from checkpoint") must survive.
+
+This module makes the cut-the-lineage operation a strategy selected by
+one Spark conf, so the same pipeline code runs sandbox-fast locally and
+executor-loss-safe on a cluster:
+
+  spark.gtfs2lc.materialize = local     (default) localCheckpoint(eager)
+  spark.gtfs2lc.materialize = reliable  RDD checkpoint to the fault-
+                                        tolerant checkpoint dir (caller
+                                        must sparkContext.setCheckpointDir
+                                        to HDFS/S3/shared storage)
+  spark.gtfs2lc.materialize = parquet   write a parquet staging table
+                                        under spark.gtfs2lc.materialize.dir
+                                        and read it back — survives both
+                                        executor AND driver loss, and is
+                                        the moral equivalent of an
+                                        Iceberg staging table (the shape
+                                        SURVEY.md §3.1 step 3 describes)
+
+All three cut the lineage (downstream plans scan plain blocks/files, no
+ArrowEvalPython re-execution — the property extract_entities depends
+on). Set the conf at session build time or per-job; it is read at each
+materialize() call, so tests can flip it on a live session.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+
+CONF_KEY = "spark.gtfs2lc.materialize"
+CONF_DIR_KEY = "spark.gtfs2lc.materialize.dir"
+
+_VALID = ("local", "reliable", "parquet")
+
+
+def materialize(df: DataFrame, label: str = "intermediate") -> DataFrame:
+    """Eagerly materialize ``df`` with the session-configured strategy
+    and return a DataFrame whose lineage starts at the materialized
+    copy. ``label`` names the staging subdirectory for the parquet
+    strategy (plus a uuid — repeated calls never collide)."""
+    spark = df.sparkSession
+    strategy = spark.conf.get(CONF_KEY, "local")
+    if strategy == "local":
+        return df.localCheckpoint(eager=True)
+    if strategy == "reliable":
+        # fault-tolerant RDD checkpoint: requires a cluster-visible
+        # sparkContext.setCheckpointDir; survives executor loss
+        if spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "materialize strategy 'reliable' needs "
+                "sparkContext.setCheckpointDir(<shared storage>)"
+            )
+        return df.checkpoint(eager=True)
+    if strategy == "parquet":
+        base = spark.conf.get(CONF_DIR_KEY, None)
+        if not base:
+            raise ValueError(
+                f"materialize strategy 'parquet' needs {CONF_DIR_KEY}"
+            )
+        path = f"{base}/{label}-{uuid.uuid4().hex[:12]}"
+        df.write.mode("error").parquet(path)
+        return spark.read.parquet(path)
+    raise ValueError(f"{CONF_KEY}={strategy!r}; expected one of {_VALID}")

@@ -129,9 +129,13 @@ def keep_last_per_key(df: DataFrame, *key_cols: str) -> DataFrame:
     key->row store semantics: LevelDB ``put`` overwrites, so the LAST
     row in stream (file) order wins (lib/stores/StoreManager.js:8-35).
 
-    File order comes from the ``_line`` lineage column (posexplode line
-    number / CSV row id), tie-broken by url for feeds spanning pages.
-    Inputs without order lineage get a deterministic
+    Order is URL-MAJOR: for a dimension file spanning multiple pages,
+    rows of the lexicographically greatest url win first, with the
+    ``_line`` lineage column (posexplode line number / CSV row id)
+    breaking ties within a page — i.e. the last line of the last page.
+    (Page urls carry no reference-defined ordering; url-major is the
+    pinned deterministic choice.) Inputs without order lineage get a
+    deterministic
     lexicographically-greatest pick instead (documented arbitrary —
     duplicate keys are malformed GTFS either way; what matters is ONE
     row, deterministically, instead of a join multiply)."""

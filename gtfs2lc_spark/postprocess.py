@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 NA = "gtfs:NotAvailable"
 
 SORT_KEYS = [
@@ -95,23 +97,26 @@ def merge_movements(
     ~14k two-row groups made the post-processor ~10x slower than this
     fold — see PLANS.md.)
 
-    Scale shape: ONE shuffle. The movement key is materialized once and
-    hash-partitioned by the window count, so the downstream groupBys
-    (HashPartitioning on the same attributes) add no exchange. Groups
-    larger than ``big_group_threshold`` — a pathological
-    identical-movement pile-up that would (a) build an unbounded
-    collect_list buffer and (b) hit the fold's O(n^2) accumulator-array
-    concat — are routed to the exact sequential pandas merge
-    (``_merge_group_pdf``, O(n) per group, Arrow-batched); normal
+    Scale shape: ONE shuffle, FULLY LAZY. The movement key is
+    hash-partitioned once (the group-count window); both routing
+    branches read that same exchange (ReuseExchange), so the downstream
+    groupBys (HashPartitioning on the same attributes) add no further
+    exchange. Groups larger than ``big_group_threshold`` — a
+    pathological identical-movement pile-up that would (a) build an
+    unbounded collect_list buffer and (b) hit the fold's O(n^2)
+    accumulator-array concat — route to the exact sequential pandas
+    merge (``_merge_group_pdf``, O(n) per group, Arrow-batched); normal
     collision-sized groups (2-3 rows) never leave the JVM.
 
-    NOTE: with the guard enabled (default) this function is EAGER — it
-    materializes the keyed input (localCheckpoint) and runs a driver
-    probe at call time, because the oversized-group routing is a
-    data-dependent plan decision. Callers that build plans
-    speculatively, or vouch that groups are collision-sized, should
-    pass ``big_group_threshold=None`` for a fully lazy single-shuffle
-    plan.
+    The routing is part of the SAME lazy plan (``_gn <= t`` -> JVM
+    fold, ``_gn > t`` -> applyInPandas, union): when no oversized group
+    exists the Python stage simply receives zero rows — Spark's pandas
+    exec nodes short-circuit empty partitions without spawning a
+    worker — so composing this into a larger plan costs no eager
+    materialization, no driver probe, and no extra job (the round-3
+    eager-guard shape cost ~1.7 s fixed per call at 208k connections).
+    ``big_group_threshold=None`` drops the guard (and the count window)
+    entirely for callers that vouch groups are collision-sized.
     """
     cols = jsonld.columns
     kcols = [f"_k_{k}" for k in MOVEMENT_KEYS]
@@ -120,18 +125,13 @@ def merge_movements(
         *[F.coalesce(F.col(k), F.lit("")).alias(kc) for k, kc in zip(MOVEMENT_KEYS, kcols)],
     )
     if big_group_threshold is not None:
-        keyed = (
-            keyed.withColumn("_gn", F.count(F.lit(1)).over(Window.partitionBy(*kcols)))
-            # pin the shuffled+counted rows: the big-group probe below
-            # and the fold both read this materialization instead of
-            # recomputing the whole upstream pipeline
-            .localCheckpoint(eager=True)
+        keyed = keyed.withColumn(
+            "_gn", F.count(F.lit(1)).over(Window.partitionBy(*kcols))
         )
-        small = keyed.where(F.col("_gn") <= big_group_threshold)
+        small = keyed.where(F.col("_gn") <= big_group_threshold).drop("_gn")
         big = keyed.where(F.col("_gn") > big_group_threshold)
     else:
-        # guard disabled (caller vouches no pathological group): single
-        # groupBy shuffle, nothing materialized
+        # guard disabled: single groupBy shuffle, no count window
         small, big = keyed, None
     empty = F.array().cast("array<string>")
     out_ddl = (
@@ -224,9 +224,10 @@ def merge_movements(
 
     # Oversized-group escape hatch: exact sequential merge in pandas
     # (one Arrow batch stream per group — no unbounded JVM agg buffer).
-    # The branch only enters the executed plan when such a group exists,
-    # so the common case never pays a Python stage.
-    if big is None or big.isEmpty():
+    # The branch is always in the plan when the guard is on, but pandas
+    # exec short-circuits empty partitions, so the common case (no
+    # oversized group) never actually spawns a Python worker.
+    if big is None:
         return small_out
 
     out_schema = ", ".join(
@@ -331,11 +332,12 @@ def join_and_sort(
     """Full post-processor: merge movements, link nextConnection, order
     ascending by the reference comparator (sort.js:210-233).
 
-    The merged set is materialized once (eager localCheckpoint): J9
-    references it from five plan branches (lead window, split-link
-    keys, setters, last-connections, final projection), and without the
-    cut each branch would re-run the movement-merge fold — measured
-    ~11% slower and far less stable at 208k connections."""
-    merged = merge_movements(jsonld, big_group_threshold).localCheckpoint(eager=True)
+    The merged set is materialized once (``materialize``, strategy set
+    by spark.gtfs2lc.materialize): J9 references it from five plan
+    branches (lead window, split-link keys, setters, last-connections,
+    final projection), and without the cut each branch would re-run the
+    movement-merge fold — measured ~11% slower and far less stable at
+    208k connections."""
+    merged = materialize(merge_movements(jsonld, big_group_threshold), "j8-merged")
     linked = link_next_connections(merged)
     return linked.orderBy(*[F.coalesce(F.col(k), F.lit("")) for k in SORT_KEYS])

@@ -272,17 +272,23 @@ def dense_index(
 
     The bucket of a row is a PURE MONOTONE FUNCTION of its key (count
     of driver-sampled boundary tuples below the key), so equal keys
-    co-locate by construction and nothing needs to be pinned: a narrow
-    sampling pass picks <= ``n_parts``-1 boundary key tuples, then one
-    aggregation counts DISTINCT keys per bucket (map-side combined;
-    the driver sees <= ``n_parts`` rows), and one shuffle + sort adds
-    the broadcast cumulative offset to a per-bucket dense_rank.
+    co-locate by construction and nothing needs to be pinned. TWO
+    passes before the rank: (1) a bottom-``sample_size``-by-hash
+    sampling pass — ``orderBy(xxhash64(key, seed)).limit(k)`` compiles
+    to TakeOrderedAndProject (per-partition top-k heaps + driver
+    merge, NO shuffle, no prior count() to size a fraction: the k
+    rows with the smallest uniform hash ARE a uniform row sample) —
+    picks <= ``n_parts``-1 boundary key tuples; (2) one aggregation
+    counts DISTINCT keys per bucket (map-side combined; the driver
+    sees <= ``n_parts`` rows). The rank pass then adds the broadcast
+    cumulative offset to a per-bucket dense_rank.
 
     (The first cut range-repartitioned and PINNED the sampled
     partitioning with an eager localCheckpoint so two passes agreed on
     boundaries; at 21.6M-row scale that full-data materialization
-    dominated the pass — explicit boundaries make the bucket
-    recomputable instead of storable, and deterministic.)
+    dominated the pass. The second cut sized a sample() fraction with
+    a dedicated count() — a third full pass the hash-bottom-k sample
+    makes unnecessary.)
 
     Rows whose key compares NULL against a boundary (null key fields)
     land in bucket 0, matching the window's default nulls-first
@@ -298,16 +304,26 @@ def dense_index(
     key_struct = F.struct(*[F.col(c) for c in key_cols])
 
     boundaries: list[tuple] = []
-    n = df.count()
-    if n > 0 and n_parts > 1:
-        frac = min(1.0, sample_size / n)
+    if n_parts > 1:
+        # uniform row sample WITHOUT a sizing count(): the sample_size
+        # rows with the smallest xxhash64(key, seed) — hash rank is
+        # independent of key order, and TakeOrderedAndProject keeps the
+        # whole pass map-side (a k-heap per partition, driver merge).
+        # Duplicate keys hash identically, so a hot key occupies sample
+        # slots proportional to its row count — exactly the row-quantile
+        # weighting bucket load-balance wants.
         # null-containing keys are excluded from boundary candidates
         # (they sort before every boundary -> bucket 0, the window's
         # nulls-first order) — and None tuples don't sort in Python
         sample = sorted(
-            tuple(r)
-            for r in df.select(*key_cols).sample(False, frac, seed).collect()
-            if None not in tuple(r)
+            tuple(r)[:-1]
+            for r in df.select(
+                *key_cols, F.xxhash64(*key_cols, F.lit(seed)).alias("_h")
+            )
+            .orderBy("_h")
+            .limit(sample_size)
+            .collect()
+            if None not in tuple(r)[:-1]
         )
         if sample:
             seen: set[tuple] = set()

@@ -49,6 +49,7 @@ from pyspark.sql.streaming import StreamingQuery
 from . import pipeline, sinks
 from .checkpoint import HistoryStore
 from .extraction import detect_pages, entities_from_detected
+from .materialize import materialize
 from .schemas import PAGES_SCHEMA
 
 
@@ -74,7 +75,7 @@ def process_pages_batch(
     tests can drive crash/replay scenarios without a streaming query."""
     if batch.isEmpty():
         return
-    detected = detect_pages(batch).localCheckpoint(eager=True)
+    detected = materialize(detect_pages(batch), "stream-detected")
     feeds = [r.feed_id for r in detected.select("feed_id").distinct().collect()]
     detected.write.mode("overwrite").parquet(f"{staging_dir}/batch={batch_id}")
     if not feeds:
@@ -82,15 +83,18 @@ def process_pages_batch(
     # A re-crawled url (same url detected again in a later batch — the
     # natural update path for a continuously-crawled corpus) must
     # REPLACE its earlier staged rows, not union with them. Order of
-    # operations matters twice over:
+    # operations matters three times over:
     #
     # - newest-per-url is taken over ALL staged rows BEFORE the feed_id
     #   filter: a url whose newest crawl moved to a different feed must
     #   not resurrect its stale snapshot when its old feed is touched;
-    # - the winner is max() of the full (batch, ...data) struct, so two
-    #   crawls of one url within the SAME batch resolve to a
-    #   deterministic row (lexicographic on content) — a crash-replayed
-    #   batch reproduces its delta byte-for-byte.
+    # - "newest" is decided by warc_ts FIRST (the crawl time), exactly
+    #   like the batch path (detect_pages): a later-arriving batch that
+    #   backfills an OLDER crawl of a url does NOT replace the staged
+    #   newer snapshot. Batch id then content break warc_ts ties, so
+    #   two crawls of one url in the SAME batch still resolve to a
+    #   deterministic row and a crash-replayed batch reproduces its
+    #   delta byte-for-byte.
     #
     # (A url whose newer crawl no longer contains GTFS content is not
     # re-detected, so its last detected snapshot remains staged —
@@ -113,21 +117,22 @@ def process_pages_batch(
         .agg(
             F.max(
                 F.struct(
+                    F.col("warc_ts").alias("_ts"),
                     F.col("batch").cast("long").alias("_b"),
                     *[F.col(c).alias(c) for c in data_cols],
                 )
             ).alias("_s")
         )
         .select("_s.*")
-        .drop("_b")
+        .drop("_ts", "_b")
         # the WINNER's feed decides membership: a url whose newest crawl
         # moved to an untouched feed is dropped here, not resurrected
         .where(F.col("feed_id").isin(feeds))
-        # materialize once: entities_from_detected embeds this subtree
-        # into ~6 entity lineages plus two driver collects — Catalyst
-        # doesn't share sub-plans (same rationale as extract_entities)
-        .localCheckpoint(eager=True)
     )
+    # materialize once: entities_from_detected embeds this subtree
+    # into ~6 entity lineages plus two driver collects — Catalyst
+    # doesn't share sub-plans (same rationale as extract_entities)
+    staged = materialize(staged, "stream-staged")
     e = entities_from_detected(staged)
     conns = pipeline.convert(
         e["stop_times"], e["trips"], e["routes"], e["stops"],
@@ -136,7 +141,7 @@ def process_pages_batch(
     )
     delta = store.differential(conns, before_snapshot=batch_id)
     # persist: consumed twice (output + history commit)
-    delta = delta.localCheckpoint(eager=True)
+    delta = materialize(delta, "stream-delta")
     sinks.jsonld_lines(sinks.connections_to_jsonld(delta)).write.mode(
         "overwrite"
     ).text(f"{output_dir}/batch={batch_id}")

@@ -287,3 +287,21 @@ def test_big_group_route_matches_jvm_fold(spark):
     assert snap(postprocess.merge_movements(df, big_group_threshold=1)) == snap(
         postprocess.merge_movements(df)
     )
+
+
+def test_merge_movements_is_lazy_with_guard_on(spark, jsonld):
+    """VERDICT r3 #2: the big-group guard must be a plan-time decision,
+    not a call-time job — merge_movements with the guard ON (default)
+    triggers ZERO Spark jobs during construction, and the oversized
+    routing lives in the SAME lazy plan (both branches present)."""
+    jl = jsonld.drop("feed_id", "type", "departure_ts", "arrival_ts")
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    n_before = len(list(tracker.getJobIdsForGroup(None)))
+    plan = postprocess.merge_movements(jl)  # construction only
+    n_after = len(list(tracker.getJobIdsForGroup(None)))
+    assert n_after == n_before  # no eager checkpoint, no driver probe
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    # both routing branches are in the one plan: the JVM fold (aggregate
+    # over sorted structs) and the pandas escape hatch
+    assert "FlatMapGroupsInPandas" in phys
+    assert "aggregate(" in phys or "Union" in phys

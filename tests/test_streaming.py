@@ -313,3 +313,46 @@ def test_recrawled_url_moving_feeds_not_resurrected(spark, tmp_path):
         spark, touch_a, 2, store, f"{tmp}/staging", f"{tmp}/out", salt_n=8
     )
     assert spark.read.text(f"{tmp}/out/batch=2").count() == 0
+
+
+def test_backfilled_older_crawl_does_not_replace_newer(spark, tmp_path):
+    """ADVICE r3: the staged per-url winner is decided by warc_ts FIRST
+    (crawl recency), exactly like the batch path — a later-arriving
+    batch that backfills an OLDER crawl of a url must NOT replace the
+    staged newer snapshot, even though its batch id is higher."""
+    tmp = str(tmp_path)
+    store = HistoryStore(spark, f"{tmp}/history")
+    base = fixtures.pages_df(spark, feed_id="feedBF", noise_pages=0).cache()
+
+    # batch 0 delivers the NEWER crawl (warc_ts shifted +1 day)
+    newer = base.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    )
+    streaming.process_pages_batch(
+        spark, newer, 0, store, f"{tmp}/staging", f"{tmp}/out", salt_n=8
+    )
+    n0 = spark.read.text(f"{tmp}/out/batch=*").count()
+    assert n0 == fixtures.SAMPLE_FEED_CONNECTIONS
+
+    # batch 1 backfills an OLDER crawl of the stop_times url whose
+    # content carries an extra stop_time row — if arrival order won,
+    # this would generate new connections; under warc_ts-major
+    # ordering it must be a no-op
+    older = base.where(F.col("url").contains("stop_times")).withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit("AAMV1,10:00:00,10:00:00,BEATTY_AIRPORT,3,,,,\n")),
+    )
+    streaming.process_pages_batch(
+        spark, older, 1, store, f"{tmp}/staging", f"{tmp}/out", salt_n=8
+    )
+    assert spark.read.text(f"{tmp}/out/batch=*").count() == n0
+
+    # control: delivering the extra-row page as a genuinely NEWER crawl
+    # (batch 2, warc_ts +2 days) DOES win and emits the new connections
+    newest = older.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 DAY")
+    )
+    streaming.process_pages_batch(
+        spark, newest, 2, store, f"{tmp}/staging", f"{tmp}/out", salt_n=8
+    )
+    assert spark.read.text(f"{tmp}/out/batch=*").count() > n0
