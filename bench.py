@@ -6,18 +6,37 @@
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_FEEDS (default 720 replicated
 sample feeds ≈ 2.5M connections ≈ 21.6M triples — the exact BASELINE.md
-local[32] capability configuration), SPARK_GRAFT_REPS (default 5,
-best-of — co-tenant noise defense), SPARK_GRAFT_DRIVER_MEM (default 32g
-here; the host has 128 GiB and the framing set needs headroom).
+local[32] capability configuration), SPARK_GRAFT_ROUNDS (default 3
+interleaved rounds; headline runs 3x per round = 9 reps),
+SPARK_GRAFT_DRIVER_MEM (default 32g here; the host has 128 GiB and the
+framing set needs headroom).
+
+Noise protocol (the host is CO-TENANTED; single runs inflate 3-10x):
+
+1. INTERLEAVED rounds — every section runs once per round, so one noisy
+   window degrades one rep of each query instead of poisoning a whole
+   best-of set of one query.
+2. A QUIET-WINDOW GATE before each timed rep: an all-core JVM probe
+   (sum over spark.range — pure Tungsten, ~0.2 s quiet) is compared to
+   its own quiet-window best; while the ratio exceeds 1.6x the rep
+   waits (bounded), so timings start in measurably quiet windows when
+   one exists within the budget.
+3. The artifact reports best AND median AND every raw run, plus the
+   per-rep probe ratio and host loadavg, so a reader can bound the
+   residual noise instead of trusting one number: best/median <= ~1.3
+   means the best-of is not a lucky outlier.
 
 All queries force full materialization via the noop datasource (count()
 would let Catalyst prune the projection work we want to measure).
+Plans are built ONCE and executions timed (per-rep py4j plan
+construction is ~2 s of constant driver cost, not engine throughput).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,6 +46,10 @@ from gtfs2lc_spark import extraction, fixtures, pipeline, postprocess, sinks  # 
 from gtfs2lc_spark.session import build_session  # noqa: E402
 
 TRIPLES_PER_FEED = 29992  # measured & oracle-verified (tests/test_pipeline_e2e.py)
+PROBE_ROWS = 64_000_000
+QUIET_RATIO = 1.6
+QUIET_WAIT_S = 5
+QUIET_BUDGET_S = 15
 
 
 def _force(df) -> None:
@@ -37,7 +60,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_feeds = int(os.environ.get("SPARK_GRAFT_FEEDS", "720"))
-    pipeline_reps = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
+    base_rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 
     # 12g (the test default) forces GC thrash once the 21.6M-triple
@@ -53,7 +76,13 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    timings: dict[str, float] = {}
+    def probe() -> float:
+        """All-core JVM burn: measures host contention, not our code."""
+        t0 = time.perf_counter()
+        spark.range(PROBE_ROWS).selectExpr(
+            "sum(cast(xxhash64(id) as double))"
+        ).collect()
+        return time.perf_counter() - t0
 
     # warm the JVM/codegen/JIT once on 2 feeds through the IDENTICAL plan
     # shape as the measured run (same source, same stage boundaries)
@@ -67,16 +96,27 @@ def main() -> None:
             )
         )
     )
+    probe_best = min(probe() for _ in range(3))
 
-    # headline: pages -> extraction -> connections -> triples, n_feeds copies
+    def wait_quiet() -> float:
+        """Delay the rep (bounded) until the probe reads quiet; returns
+        the probe ratio the rep actually starts at."""
+        nonlocal probe_best
+        waited = 0.0
+        while True:
+            p = probe()
+            probe_best = min(probe_best, p)
+            ratio = p / probe_best
+            if ratio <= QUIET_RATIO or waited >= QUIET_BUDGET_S:
+                return round(ratio, 2)
+            time.sleep(QUIET_WAIT_S)
+            waited += QUIET_WAIT_S
+
+    # ---- build every section's plan ONCE --------------------------------
     pages = fixtures.pages_df_scaled(
         spark, n_feeds, noise_pages=40, n_partitions=cpus * 2
     ).cache()
     pages.count()
-
-    # plan built ONCE, executions timed: a production job constructs its
-    # DataFrame once; per-rep py4j plan construction (~2 s, constant in
-    # data and cluster size) is not engine throughput
     ent = extraction.extract_entities(pages)
     conns_df = pipeline.convert(
         ent["stop_times"], ent["trips"], ent["routes"], ent["stops"],
@@ -84,22 +124,9 @@ def main() -> None:
     )
     triples_df = sinks.connections_to_triples(conns_df)
 
-    # best-of-N: the sandbox host is co-tenanted (loadavg shows external
-    # bursts); the minimum measures engine capability, not host noise
-    reps = []
-    for _ in range(pipeline_reps):
-        t0 = time.perf_counter()
-        _force(triples_df)
-        reps.append(round(time.perf_counter() - t0, 3))
-    timings["gtfs_pipeline_triples"] = min(reps)
-    # free the headline working set before the remaining sections — the
-    # cached pages otherwise squeeze the J8/W4 measurements into a
-    # GC-pressured heap
-    pages.unpersist()
-
     # J8/J9 post-processor (movement merge + nextConnection linking +
     # final 6-key sort) over the jsonld of a feed subset; the input is
-    # localCheckpointed so the timing isolates the post-processor
+    # localCheckpointed so the timing isolates the post-processor.
     # feed-scoped URIs: replicated feeds must NOT collide into one
     # movement group (they wouldn't in a real corpus; without scoping
     # every group goes 60-wide through the Python merge path)
@@ -116,60 +143,95 @@ def main() -> None:
         ),
         URIStrategy(FEED_SCOPED_BASE_URIS),
     ).drop("feed_id", "type", "departure_ts", "arrival_ts").localCheckpoint(eager=True)
-    pp_runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _force(postprocess.join_and_sort(jl))
-        pp_runs.append(round(time.perf_counter() - t0, 3))
-    timings["j8_j9_join_and_sort"] = min(pp_runs)
+
+    # W4 framed-counter input: the full triple output, checkpointed once
+    # (untimed pipeline pass) so the timing isolates the framing passes
+    triples_fc = triples_df.localCheckpoint(eager=True)
 
     qs = entry_mod.queries()
-    for name in (
-        "w1_lag_pairs",
-        "j6_date_explode",
-        "broadcast_enrich",
-        "o2_multikey_sort",
-        "dedup_exact",
-        "text_token_count",
-    ):
-        # best-of-3 per query: same co-tenant-noise defense as above
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _force(qs[name](spark, sf_dir))
-            runs.append(round(time.perf_counter() - t0, 3))
-        timings[name] = min(runs)
+    sections: list[tuple[str, int, object]] = [
+        # (name, reps per round, thunk)
+        ("gtfs_pipeline_triples", 3, lambda: _force(triples_df)),
+        ("j8_j9_join_and_sort", 1, lambda: _force(postprocess.join_and_sort(jl))),
+        ("w1_lag_pairs", 1, lambda: _force(qs["w1_lag_pairs"](spark, sf_dir))),
+        ("j6_date_explode", 1, lambda: _force(qs["j6_date_explode"](spark, sf_dir))),
+        ("broadcast_enrich", 1, lambda: _force(qs["broadcast_enrich"](spark, sf_dir))),
+        ("o2_multikey_sort", 1, lambda: _force(qs["o2_multikey_sort"](spark, sf_dir))),
+        ("dedup_exact", 1, lambda: _force(qs["dedup_exact"](spark, sf_dir))),
+        ("text_token_count", 1, lambda: _force(qs["text_token_count"](spark, sf_dir))),
+        (
+            "w4_message_counter",
+            1,
+            lambda: _force(
+                sinks.dense_index(triples_fc, ["subj"], n_parts=max(cpus, 8))
+                .withColumnRenamed("_dense_idx", "message_counter")
+            ),
+        ),
+    ]
 
-    # W4 framed-counter path: dense_index (sampled explicit boundaries +
-    # per-bucket rank + broadcast offsets) over the FULL triple output —
-    # the cost of message-log framing at output scale. The headline's
-    # triples_df is checkpointed (one untimed pipeline pass) so the
-    # timing isolates the framing passes.
-    triples_fc = triples_df.localCheckpoint(eager=True)
-    fc_runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _force(
-            sinks.dense_index(triples_fc, ["subj"], n_parts=max(cpus, 8))
-            .withColumnRenamed("_dense_idx", "message_counter")
-        )
-        fc_runs.append(round(time.perf_counter() - t0, 3))
-    timings["w4_message_counter"] = min(fc_runs)
+    # one untimed execution per section: first execution pays plan
+    # compile + codegen JIT (observed 4-7x on first runs), which is a
+    # constant that would otherwise poison each section's median
+    for _, _, thunk in sections:
+        thunk()
 
+    runs: dict[str, list[float]] = {name: [] for name, _, _ in sections}
+    ratios: dict[str, list[float]] = {name: [] for name, _, _ in sections}
+    loads: dict[str, list[float]] = {name: [] for name, _, _ in sections}
+
+    def run_round() -> None:
+        for name, reps, thunk in sections:
+            for _ in range(reps):
+                ratios[name].append(wait_quiet())
+                loads[name].append(round(os.getloadavg()[0], 1))
+                t0 = time.perf_counter()
+                thunk()
+                runs[name].append(round(time.perf_counter() - t0, 3))
+
+    for _ in range(base_rounds):
+        run_round()
+    # adaptive: if the headline's best is still an outlier vs its median
+    # (a noisy set), buy up to 2 extra interleaved rounds
+    extra = 0
+    while extra < 2:
+        h = runs["gtfs_pipeline_triples"]
+        if min(h) / statistics.median(h) >= 1 / 1.3:
+            break
+        run_round()
+        extra += 1
+
+    best = {n: min(r) for n, r in runs.items()}
+    med = {n: round(statistics.median(r), 3) for n, r in runs.items()}
     total_triples = n_feeds * TRIPLES_PER_FEED
-    tps = round(total_triples / timings["gtfs_pipeline_triples"], 1)
+    tps = round(total_triples / best["gtfs_pipeline_triples"], 1)
     print(
         json.dumps(
             {
                 "metric": "lc_connection_triples_per_sec",
                 "value": tps,
                 "unit": "sec",
-                "queries": timings,
+                "queries": best,
+                "queries_median": med,
+                "runs": runs,
                 "sf": sf,
                 "n_feeds": n_feeds,
                 "total_triples": total_triples,
                 "cpus": cpus,
-                "pipeline_runs_sec": reps,
+                "value_median": round(
+                    total_triples / med["gtfs_pipeline_triples"], 1
+                ),
+                "noise": {
+                    "protocol": "interleaved rounds + quiet-window probe gate",
+                    "rounds": base_rounds + extra,
+                    "probe_quiet_sec": round(probe_best, 3),
+                    "probe_ratio_at_rep": ratios,
+                    "loadavg_at_rep": loads,
+                    "headline_best_over_median": round(
+                        best["gtfs_pipeline_triples"]
+                        / med["gtfs_pipeline_triples"],
+                        3,
+                    ),
+                },
                 "join_and_sort_feeds": pp_feeds,
             }
         )

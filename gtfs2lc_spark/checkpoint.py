@@ -56,15 +56,43 @@ class HistoryStore:
 
     # -- snapshot bookkeeping -------------------------------------------------
 
+    MARKER = "_compaction.json"
+
+    def _compaction(self) -> dict | None:
+        """The current compaction marker, or None. The marker is the
+        COMMIT POINT of a compaction: once present, the base dir it
+        names is authoritative for every snapshot id <= covers_up_to,
+        and any leftover per-snapshot dirs in that range are garbage
+        (a crashed deletion) — ignored here, swept by the next
+        compact()."""
+        p = os.path.join(self.path, self.MARKER)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def compacted_through(self) -> int | None:
+        m = self._compaction()
+        return m["covers_up_to"] if m else None
+
     def snapshots(self) -> list[int]:
+        """Committed per-snapshot ids NOT superseded by a compaction
+        base (the base itself is reported via compacted_through())."""
         if not os.path.isdir(self.path):
             return []
+        floor = self.compacted_through()
         out = []
         for d in os.listdir(self.path):
             if d.startswith("snapshot="):
+                try:
+                    sid = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue  # in-flight/garbage dir, never committed
+                if floor is not None and sid <= floor:
+                    continue  # superseded by the base (crashed deletion)
                 # only committed snapshots count (metrics file = commit marker)
                 if os.path.exists(os.path.join(self.path, d, "_metrics.json")):
-                    out.append(int(d.split("=", 1)[1]))
+                    out.append(sid)
         return sorted(out)
 
     def fresh(self) -> None:
@@ -73,15 +101,29 @@ class HistoryStore:
             shutil.rmtree(self.path)
 
     def load(self, before_snapshot: int | None = None) -> DataFrame | None:
-        """Union of committed snapshots (optionally only those with id <
-        ``before_snapshot`` — the streaming replay-determinism bound);
-        None when empty."""
+        """Union of the compaction base (if any) and committed
+        snapshots, optionally only ids < ``before_snapshot`` (the
+        streaming replay-determinism bound); None when empty.
+
+        A ``before_snapshot`` at or below the compaction floor raises:
+        the base has merged those snapshots and the per-id split no
+        longer exists — which is why compact() refuses to cover the
+        newest snapshot (the only one a crashed stream can replay)."""
+        m = self._compaction()
+        paths = []
+        if m is not None:
+            if before_snapshot is not None and before_snapshot <= m["covers_up_to"]:
+                raise ValueError(
+                    f"history compacted through snapshot {m['covers_up_to']}; "
+                    f"cannot reconstruct state before snapshot {before_snapshot}"
+                )
+            paths.append(os.path.join(self.path, m["base_dir"]))
         snaps = self.snapshots()
         if before_snapshot is not None:
             snaps = [s for s in snaps if s < before_snapshot]
-        if not snaps:
+        paths += [os.path.join(self.path, f"snapshot={s}") for s in snaps]
+        if not paths:
             return None
-        paths = [os.path.join(self.path, f"snapshot={s}") for s in snaps]
         return self.spark.read.parquet(*paths).select(*PAIR_COLS)
 
     # -- the J7 operators ------------------------------------------------------
@@ -116,10 +158,16 @@ class HistoryStore:
         An explicit ``snapshot_id`` (streaming: the micro-batch id) makes
         the commit IDEMPOTENT — a replayed batch overwrites its own
         snapshot with identical content instead of appending a new one."""
+        floor = self.compacted_through()
         if snapshot_id is None:
             snaps = self.snapshots()
-            sid = (snaps[-1] + 1) if snaps else 0
+            sid = max(snaps[-1] if snaps else -1, -1 if floor is None else floor) + 1
         else:
+            if floor is not None and snapshot_id <= floor:
+                raise ValueError(
+                    f"snapshot {snapshot_id} already compacted into the base "
+                    f"(covers_up_to={floor}); refusing to overwrite history"
+                )
             sid = snapshot_id
         snap_dir = os.path.join(self.path, f"snapshot={sid}")
         pairs = new_pairs.select(*PAIR_COLS).distinct()
@@ -156,6 +204,83 @@ class HistoryStore:
         with open(os.path.join(snap_dir, "_metrics.json"), "w") as f:
             json.dump(metrics, f, indent=1)
         return SnapshotInfo(sid, snap_dir, metrics)
+
+    def compact(self, up_to: int | None = None) -> SnapshotInfo:
+        """Rewrite every snapshot with id <= ``up_to`` (plus any prior
+        base) into ONE distinct-pair base table (VERDICT r3 #6). A year
+        of streaming batches otherwise leaves thousands of tiny
+        snapshot dirs on the anti-join build side; after compaction
+        load() reads one base + the recent tail.
+
+        Default ``up_to`` is the SECOND-newest visible snapshot: the
+        newest is the only batch a crashed stream checkpoint can
+        replay, and its replay needs ``load(before_snapshot=newest)``
+        to remain answerable (load() raises below the compaction
+        floor). Pass an explicit ``up_to`` < newest to keep more tail.
+
+        Crash safety is the same marker protocol as commit(): the new
+        base is written to a fresh ``base-<uuid>`` dir, then
+        ``_compaction.json`` is atomically replaced (os.replace) — the
+        COMMIT POINT — then superseded dirs (old base, per-snapshot
+        dirs <= up_to) are deleted. A crash before the marker leaves an
+        ignored orphan base; a crash during deletion leaves superseded
+        dirs that snapshots() skips and the next compact() sweeps."""
+        import uuid
+
+        snaps = self.snapshots()
+        if len(snaps) < 2:
+            raise ValueError(
+                f"need >=2 uncompacted snapshots to compact, have {snaps}"
+            )
+        if up_to is None:
+            up_to = snaps[-2]
+        if up_to >= snaps[-1]:
+            raise ValueError(
+                f"up_to={up_to} must leave the newest snapshot {snaps[-1]} "
+                "uncompacted (streaming replay bound)"
+            )
+        if up_to < snaps[0]:
+            raise ValueError(f"up_to={up_to} covers no uncompacted snapshot")
+        old = self._compaction()
+
+        pairs = self.load(before_snapshot=up_to + 1).distinct()
+        base_name = f"base-{uuid.uuid4().hex[:12]}"
+        base_dir = os.path.join(self.path, base_name)
+        pairs.write.mode("error").parquet(base_dir)
+
+        covered = [s for s in snaps if s <= up_to]
+        metrics = {
+            "covers_up_to": up_to,
+            "compacted_snapshots": covered
+            + ([f"base<= {old['covers_up_to']}"] if old else []),
+            "committed_at_unix": time.time(),
+            "total_rows": self.spark.read.parquet(base_dir).count(),
+        }
+        with open(os.path.join(base_dir, "_metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
+
+        # COMMIT POINT: atomic marker replace
+        marker = {"base_dir": base_name, "covers_up_to": up_to}
+        tmp = os.path.join(self.path, self.MARKER + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, os.path.join(self.path, self.MARKER))
+
+        # sweep superseded dirs (old bases + compacted snapshots); also
+        # catches leftovers from a previously crashed sweep
+        for d in os.listdir(self.path):
+            p = os.path.join(self.path, d)
+            if d.startswith("base-") and d != base_name:
+                shutil.rmtree(p, ignore_errors=True)
+            elif d.startswith("snapshot="):
+                try:
+                    sid = int(d.split("=", 1)[1])
+                except ValueError:
+                    shutil.rmtree(p, ignore_errors=True)  # uncommitted garbage
+                    continue
+                if sid <= up_to:
+                    shutil.rmtree(p, ignore_errors=True)
+        return SnapshotInfo(up_to, base_dir, metrics)
 
 
 def convert_incremental(

@@ -151,6 +151,36 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", *dup_stats(lines, "lines"), *dup_stats(tri, "trigrams"))
 
 
+# Gopher-rule-style default cutoffs (Rae et al. 2021, table A1 family):
+# documents whose duplicate-line fraction or duplicate-trigram fraction
+# exceeds these are boilerplate/spam-like. Deliberately conservative;
+# tune per corpus.
+REPETITION_MAX_DUP_LINE_FRAC = 0.30
+REPETITION_MAX_DUP_TRIGRAM_FRAC = 0.50
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_line_frac: float = REPETITION_MAX_DUP_LINE_FRAC,
+    max_dup_trigram_frac: float = REPETITION_MAX_DUP_TRIGRAM_FRAC,
+    keep_signals: bool = False,
+) -> DataFrame:
+    """Drop repetition-heavy documents (the standard Gopher-style
+    boilerplate cut): keep rows whose duplicated-line AND
+    duplicated-trigram fractions are at or below the thresholds.
+    Narrow map-side filter — composes with the rest of the corpus
+    pipeline without a shuffle. ``keep_signals`` retains the computed
+    fraction columns for auditing; by default the output schema equals
+    the input schema."""
+    scored = repetition_features(df, text_col)
+    kept = scored.where(
+        (F.col("dup_lines_frac") <= max_dup_line_frac)
+        & (F.col("dup_trigrams_frac") <= max_dup_trigram_frac)
+    )
+    return kept if keep_signals else kept.select(*df.columns)
+
+
 def corpus_token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-shape analytics for pipeline tuning: documents bucketed by
     log2 token-count bands (plus mean quality signals per band). One

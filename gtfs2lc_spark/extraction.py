@@ -185,32 +185,127 @@ def _parse_header(header: str) -> list[str]:
     return cols
 
 
+# Per gtfs file, at most this many header variants get a dedicated
+# (schema-pinned, fastest) union branch — the MOST COMMON ones by page
+# count. The long tail routes through ONE generic name-mapping branch,
+# so a hostile corpus with thousands of header variants bloats neither
+# the driver collect nor the plan (VERDICT r3 #5).
+MAX_HEADER_BRANCHES = 16
+
+# generic-branch width: headers/rows are parsed into this many
+# positional string fields; canonical columns beyond this position in a
+# hostile header are filled '' (documented cap)
+GENERIC_MAX_COLS = 64
+
+
+def _generic_branch(sub: DataFrame, fname: str, cols: tuple[str, ...]) -> DataFrame:
+    """Name-mapped parsing with NO driver knowledge of the header: both
+    the header line and each body line are CSV-parsed into
+    ``GENERIC_MAX_COLS`` positional fields, and each canonical column is
+    picked by array_position over the header names — all JVM
+    expressions, one plan branch regardless of how many header variants
+    the tail holds. Rows under headers missing a REQUIRED_COLS key are
+    dropped in-plan (not per-header logged, unlike dedicated branches)."""
+    wide_ddl = ", ".join(f"`_c{i}` STRING" for i in range(GENERIC_MAX_COLS))
+    opts = {"quote": '"', "escape": '"'}
+
+    def to_arr(c):
+        parsed = F.from_csv(c, wide_ddl, opts)
+        return F.array(*[parsed.getField(f"_c{i}") for i in range(GENERIC_MAX_COLS)])
+
+    hdr_arr = F.transform(
+        to_arr(F.regexp_replace("header", "^\\ufeff", "")),
+        lambda x: F.trim(x),
+    )
+    required_ok = None
+    for rc in REQUIRED_COLS[fname]:
+        chk = F.array_position(hdr_arr, F.lit(rc)) > 0
+        required_ok = chk if required_ok is None else (required_ok & chk)
+
+    lines = (
+        sub.where(required_ok)
+        .select(
+            "feed_id",
+            "url",
+            hdr_arr.alias("_hdr"),
+            F.posexplode(F.split("body", "\n")).alias("_line", "line"),
+        )
+        .where(F.length(F.trim("line")) > 0)
+        .withColumn("_vals", to_arr(F.col("line")))
+    )
+
+    def pick(c: str) -> F.Column:
+        pos = F.array_position(F.col("_hdr"), F.lit(c))
+        return F.coalesce(
+            F.when(pos > 0, F.element_at(F.col("_vals"), pos.cast("int"))),
+            F.lit(""),
+        ).alias(c)
+
+    return lines.select(
+        *[pick(c) for c in cols],
+        "feed_id",
+        "url",
+        F.col("_line").cast("long").alias("_line"),
+    )
+
+
 def entities_from_detected(detected: DataFrame) -> dict[str, DataFrame]:
     """Detected pages (url, gtfs_file, feed_id, header, body) -> entity
     DataFrames with the CANONICAL all-string schema. Pure JVM stage
     (split/explode/from_csv) — reusable over a staged detected-pages
     table (streaming) as well as fresh detection output.
 
-    Columns are mapped BY NAME per distinct header (fast-csv
-    ``headers: true`` semantics, lib/stores/StoreManager.js:38-41):
-    reordered or extra columns are fine, canonical columns absent from a
-    header are filled with '' (the reference's undefined -> our _blank).
-    Headers missing a REQUIRED_COLS key are rejected — and counted, via
-    a warning log with per-header page counts (the distinct-header set
-    is tiny and driver-sized; the page bodies never move)."""
+    Columns are mapped BY NAME per header (fast-csv ``headers: true``
+    semantics, lib/stores/StoreManager.js:38-41): reordered or extra
+    columns are fine, canonical columns absent from a header are filled
+    with '' (the reference's undefined -> our _blank). Headers missing
+    a REQUIRED_COLS key are rejected — dedicated-branch rejects are
+    counted via a warning log with per-header page counts.
+
+    Scale guard: the driver collects only the ``MAX_HEADER_BRANCHES``
+    most common headers per file (one bounded aggregation, row_number
+    over count DESC) and pins a dedicated schema per branch; any
+    remaining variants route through ONE generic array-position branch
+    (``_generic_branch``), so driver data and plan size stay O(1) in
+    the number of header variants."""
     import logging
 
-    hdr_rows = detected.select("gtfs_file", "header").distinct().collect()
+    from pyspark.sql import Window
+
+    # top-K headers per file BY PAGE COUNT, +1 row to detect a tail;
+    # the driver never sees more than (K+1) x |files| rows
+    hdr_rows = (
+        detected.groupBy("gtfs_file", "header")
+        .count()
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("gtfs_file").orderBy(
+                    F.desc("count"), F.col("header")
+                )
+            ),
+        )
+        .where(F.col("_rk") <= MAX_HEADER_BRANCHES + 1)
+        .collect()
+    )
     headers: dict[str, list[str]] = {}
+    counts: dict[tuple[str, str], int] = {}
+    has_tail: set[str] = set()
     for r in hdr_rows:
-        if r.gtfs_file in GTFS_FILE_COLS and r.header is not None:
+        if r.gtfs_file not in GTFS_FILE_COLS or r.header is None:
+            continue
+        if r["_rk"] <= MAX_HEADER_BRANCHES:
             headers.setdefault(r.gtfs_file, []).append(r.header)
+            counts[(r.gtfs_file, r.header)] = r["count"]
+        else:
+            has_tail.add(r.gtfs_file)
 
     out: dict[str, DataFrame] = {}
     rejected: list[tuple[str, str]] = []
     for fname, cols in GTFS_FILE_COLS.items():
         branches = []
-        for hdr in sorted(headers.get(fname, [])):
+        dedicated = sorted(headers.get(fname, []))
+        for hdr in dedicated:
             hcols = _parse_header(hdr)
             if not REQUIRED_COLS[fname] <= set(hcols):
                 rejected.append((fname, hdr))
@@ -248,6 +343,13 @@ def entities_from_detected(detected: DataFrame) -> dict[str, DataFrame]:
                     F.col("_line").cast("long").alias("_line"),
                 )
             )
+        if fname in has_tail:
+            tail = detected.where(
+                (F.col("gtfs_file") == fname)
+                & F.col("header").isNotNull()
+                & ~F.col("header").isin(dedicated)
+            )
+            branches.append(_generic_branch(tail, fname, cols))
         name = fname.removesuffix(".txt")
         if branches:
             df = branches[0]
@@ -261,15 +363,10 @@ def entities_from_detected(detected: DataFrame) -> dict[str, DataFrame]:
             )
             out[name] = detected.sparkSession.createDataFrame([], schema)
 
-    if rejected:
-        counts = {
-            (r.gtfs_file, r.header): r["count"]
-            for r in detected.groupBy("gtfs_file", "header").count().collect()
-        }
-        for fname, hdr in rejected:
-            logging.getLogger(__name__).warning(
-                "dropped %s page(s) of %s: header missing required columns %s (header=%r)",
-                counts.get((fname, hdr), "?"), fname,
-                sorted(REQUIRED_COLS[fname] - set(_parse_header(hdr))), hdr,
-            )
+    for fname, hdr in rejected:
+        logging.getLogger(__name__).warning(
+            "dropped %s page(s) of %s: header missing required columns %s (header=%r)",
+            counts.get((fname, hdr), "?"), fname,
+            sorted(REQUIRED_COLS[fname] - set(_parse_header(hdr))), hdr,
+        )
     return out

@@ -93,6 +93,7 @@ def build_outputs(
     fmt: str,
     base_uris: dict | None,
     join_and_sort: bool,
+    message_counter: bool = False,
 ) -> DataFrame:
     uris = URIStrategy(base_uris)
     if fmt == "csv":
@@ -113,10 +114,28 @@ def build_outputs(
             return sinks.mongold_lines(jsonld)
         return sinks.jsonld_lines(jsonld)
     if fmt == "turtle":
+        if message_counter:
+            # W4 framed output: one Turtle line IS one message; message
+            # order = the counter's total order over connection URIs,
+            # so an orderBy on the subject (range partition, no single
+            # reducer) emits the framed message log
+            return sinks.turtle_message_lines(
+                conns.orderBy(uris.connection_id()), uris
+            )
         return sinks.turtle_message_lines(conns, uris)
     triples = sinks.connections_to_triples(conns, uris)
     if fmt == "ntriples":
+        if message_counter:
+            # framed N-Triples: triples grouped by message in counter
+            # order (the dense_index machinery assigns the ordinal; the
+            # sort is a range partition over (counter, pred) — scalable)
+            framed = sinks.triples_with_message_counter(conns, uris)
+            return sinks.triples_to_ntriples_lines(
+                framed.orderBy("message_counter", "pred")
+            )
         return sinks.triples_to_ntriples_lines(triples)
+    if message_counter:
+        return sinks.triples_with_message_counter(conns, uris)
     return triples  # triples-parquet
 
 
@@ -135,6 +154,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--history", help="history store path for incremental runs")
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--join-and-sort", action="store_true")
+    ap.add_argument("--message-counter", action="store_true",
+                    help="RDF 1.2 message-log framing for turtle/ntriples/"
+                         "triples-parquet (W4): message-ordered text output; "
+                         "triples-parquet keeps the message_counter column")
     ap.add_argument("--feed-tz", default="Europe/Brussels")
     ap.add_argument("--salt", type=int, default=pipeline.DEFAULT_SALT_N)
     ap.add_argument("--compressed", action="store_true",
@@ -188,7 +211,10 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
 
         base_uris = FEED_SCOPED_BASE_URIS
 
-    out = build_outputs(conns, args.format, base_uris, args.join_and_sort)
+    out = build_outputs(
+        conns, args.format, base_uris, args.join_and_sort,
+        message_counter=getattr(args, "message_counter", False),
+    )
     header = format_header(args.format)
     if args.format == "triples-parquet":
         out.write.mode("overwrite").parquet(args.output)

@@ -36,6 +36,11 @@ from pyspark.sql import functions as F
 
 DEFAULT_SALT_N = 64
 
+# J7 within-run dedupe: uniqueId groups larger than this skip the
+# O(g^2)-cell prefix-union window for a linear explode/first-wins/regroup
+# path (hostile-corpus guard; real GTFS groups are 2-3 rows)
+DUP_GROUP_THRESHOLD = 64
+
 
 def _nullif_empty(c: Column) -> Column:
     return F.nullif(c, F.lit(""))
@@ -389,16 +394,43 @@ def rules_to_connections(
         # dates via a framed collect_list — done at RULE level, before
         # the ~180x explode, so the dedupe shuffle moves rules, not
         # connections.
+        #
+        # The prefix-union is O(g^2) in array CELLS for a uniqueId
+        # duplicated g times (each row flattens all preceding rows'
+        # arrays) — nothing for real GTFS (g<=2-3) but quadratic on a
+        # hostile corpus with thousands of identical rules. Groups
+        # larger than DUP_GROUP_THRESHOLD therefore route through a
+        # linear equivalent in the same lazy plan: explode the dates,
+        # keep the FIRST rule per (feed, uniqueId, date) in the same
+        # (trip_id, stop_sequence) order, regroup. Both branches are
+        # pure JVM; both groupings reuse the explicit exchange above.
+        grp = Window.partitionBy("feed_id", "unique_id")
+        counted = with_dates.withColumn("_dupn", F.count(F.lit(1)).over(grp))
+        small = counted.where(F.col("_dupn") <= DUP_GROUP_THRESHOLD).drop("_dupn")
+        big = counted.where(F.col("_dupn") > DUP_GROUP_THRESHOLD).drop("_dupn")
         w = (
             Window.partitionBy("feed_id", "unique_id")
             .orderBy("trip_id", "stop_sequence_int")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         seen = F.flatten(F.collect_list("dates").over(w))
-        with_dates = with_dates.withColumn(
+        small = small.withColumn(
             "dates",
             F.array_except(F.coalesce("dates", empty), F.coalesce(seen, empty)),
         )
+        data_cols = [c for c in with_dates.columns if c != "dates"]
+        w_first = Window.partitionBy("feed_id", "unique_id", "_d").orderBy(
+            "trip_id", "stop_sequence_int"
+        )
+        big = (
+            big.select(*data_cols, F.explode(F.coalesce("dates", empty)).alias("_d"))
+            .withColumn("_rn", F.row_number().over(w_first))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .groupBy(*data_cols)
+            .agg(F.array_sort(F.collect_list("_d")).alias("dates"))
+        )
+        with_dates = small.unionByName(big.select(*with_dates.columns))
 
     if salt_n:
         with_dates = with_dates.withColumn(

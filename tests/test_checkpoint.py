@@ -83,3 +83,77 @@ def test_kill_and_resume(spark, connections, store, tmp_path):
     # and a third run on top emits nothing
     delta3, _ = convert_incremental(connections, store)
     assert delta3.count() == 0
+
+
+def _pairs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "feed_id string, unique_id string, service_date string"
+    )
+
+
+def _hist(spark, store, before=None):
+    h = store.load(before_snapshot=before)
+    return (
+        set()
+        if h is None
+        else {(r.feed_id, r.unique_id, r.service_date) for r in h.collect()}
+    )
+
+
+def test_compaction_preserves_differential_semantics(spark, store):
+    """VERDICT r3 #6: compact() rewrites snapshots <= N into one base;
+    load()/differential() answers are unchanged, the newest snapshot
+    stays replayable (before_snapshot still works across the
+    boundary), and the superseded dirs are gone."""
+    for i in range(4):
+        store.commit(
+            _pairs_df(spark, [("f", f"u{i}", "20070101"), ("f", f"u{i}", "20070102")]),
+            snapshot_id=i,
+        )
+    full_before = _hist(spark, store)
+    replay_before = _hist(spark, store, before=3)
+    assert store.snapshots() == [0, 1, 2, 3]
+
+    info = store.compact()  # default: through the SECOND-newest (id 2)
+    assert store.compacted_through() == 2
+    assert store.snapshots() == [3]
+    # a year of batches -> exactly base + tail on disk
+    dirs = sorted(d for d in os.listdir(store.path) if not d.startswith("_"))
+    assert len([d for d in dirs if d.startswith("base-")]) == 1
+    assert [d for d in dirs if d.startswith("snapshot=")] == ["snapshot=3"]
+
+    # identical history answers across the compaction boundary
+    assert _hist(spark, store) == full_before
+    assert _hist(spark, store, before=3) == replay_before
+
+    # replaying the newest batch (3) reproduces its original delta
+    conns = _pairs_df(
+        spark, [("f", "u3", "20070101"), ("f", "u3", "20070102"), ("f", "u9", "20070103")]
+    )
+    delta = store.differential(conns, before_snapshot=3)
+    assert {r.unique_id for r in delta.collect()} == {"u3", "u9"}
+
+    # but history below the floor is explicitly unanswerable
+    with pytest.raises(ValueError, match="compacted through"):
+        store.load(before_snapshot=2)
+    # and a compacted batch id can never be re-committed
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        store.commit(_pairs_df(spark, [("f", "x", "20070101")]), snapshot_id=1)
+
+    # new commits continue above the tail; a second compaction folds
+    # the old base + mid snapshots into a fresh single base
+    store.commit(_pairs_df(spark, [("f", "u5", "20070105")]), snapshot_id=5)
+    store.compact()
+    assert store.compacted_through() == 3
+    assert store.snapshots() == [5]
+    assert _hist(spark, store) == full_before | {("f", "u5", "20070105")}
+    assert len([d for d in os.listdir(store.path) if d.startswith("base-")]) == 1
+
+
+def test_compaction_guards(spark, store):
+    with pytest.raises(ValueError, match="need >=2"):
+        store.compact()
+    store.commit(_pairs_df(spark, [("f", "a", "20070101")]), snapshot_id=0)
+    store.commit(_pairs_df(spark, [("f", "b", "20070101")]), snapshot_id=1)
+    with pytest.raises(ValueError, match="newest"):
+        store.compact(up_to=1)

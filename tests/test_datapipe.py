@@ -329,3 +329,25 @@ def test_repetition_features(spark):
     # degenerate docs: no segments -> zero fractions, no crash
     assert got[2].n_trigrams == 0 and got[2].dup_trigrams_frac == 0.0
     assert got[3].n_lines == 0 and got[3].dup_lines_frac == 0.0
+
+
+def test_repetition_filter(spark):
+    """The documented Gopher-cutoff filter: repetition-heavy docs drop,
+    clean docs keep their exact input schema; keep_signals exposes the
+    fractions for auditing."""
+    from gtfs2lc_spark.datapipe import text as tx
+
+    clean = "alpha beta gamma\ndelta epsilon zeta\n"
+    liney = "buy now\n" * 10 + "one unique line\n"      # dup_lines_frac ~0.9
+    trigr = "spam alert again " * 20                     # dup trigrams ~1.0
+    d = spark.createDataFrame(
+        [(1, clean), (2, liney), (3, trigr)], "doc_id long, text string"
+    )
+    kept = tx.repetition_filter(d)
+    assert kept.columns == ["doc_id", "text"]
+    assert {r.doc_id for r in kept.collect()} == {1}
+
+    audited = tx.repetition_filter(d, max_dup_line_frac=1.0,
+                                   max_dup_trigram_frac=1.0, keep_signals=True)
+    assert {"dup_lines_frac", "dup_trigrams_frac"} <= set(audited.columns)
+    assert audited.count() == 3

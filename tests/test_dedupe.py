@@ -152,3 +152,68 @@ def test_connected_components_converges_exactly_at_budget(spark):
         for r in dedup.connected_components(pairs, max_iters=8).collect()
     }
     assert got == {i: 0 for i in range(9)}
+
+
+def test_thousand_duplicate_rules_route_linear_path(spark):
+    """VERDICT r3 #5: a hostile feed with 1,000 identical-movement
+    trips (one uniqueId group of 1,000 rules) must not hit the O(g^2)
+    prefix-union window — groups above DUP_GROUP_THRESHOLD take the
+    linear explode/first-wins/regroup branch, with identical J7
+    semantics: the first rule in (trip_id, stop_sequence) order keeps
+    its dates, later rules emit only dates unseen so far."""
+    f = lambda *r: (*r, "f", "u")  # noqa: E731
+    n = 1_000
+    st_rows, trip_rows, cal_rows = [], [], []
+    for i in range(n):
+        t = f"T{i:04d}"
+        st_rows += [
+            f(t, "8:00:00", "8:00:00", "S1", "1", "", "", "", ""),
+            f(t, "9:00:00", "9:00:00", "S2", "2", "", "", "", ""),
+        ]
+        # every trip its own service: T0000 runs mon, all others run
+        # mon+tue — so T0000 (first in order) claims mon, T0001 claims
+        # tue, every later trip emits NOTHING
+        svc = f"SV{i:04d}"
+        trip_rows.append(f("R", svc, t, "", "", "", ""))
+        cal_rows.append(
+            f(svc, "1", "1" if i > 0 else "0", "0", "0", "0", "0", "0",
+              "20070101", "20070107")
+        )
+    stop_times = _df(
+        spark,
+        ["trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence",
+         "stop_headsign", "pickup_type", "drop_off_type", "shape_dist_traveled"],
+        st_rows,
+    )
+    trips = _df(
+        spark,
+        ["route_id", "service_id", "trip_id", "trip_headsign", "direction_id",
+         "block_id", "shape_id"],
+        trip_rows,
+    )
+    routes = _df(
+        spark,
+        ["route_id", "agency_id", "route_short_name", "route_long_name", "route_desc",
+         "route_type", "route_url", "route_color", "route_text_color"],
+        [f("R", "A", "1", "Long Name", "", "3", "", "", "")],
+    )
+    stops = _df(
+        spark,
+        ["stop_id", "stop_name", "stop_desc", "stop_lat", "stop_lon", "zone_id", "stop_url"],
+        [f("S1", "", "", "", "", "", ""), f("S2", "", "", "", "", "", "")],
+    )
+    calendar = _df(
+        spark,
+        ["service_id", "monday", "tuesday", "wednesday", "thursday", "friday",
+         "saturday", "sunday", "start_date", "end_date"],
+        cal_rows,
+    )
+    calendar_dates = _df(spark, ["service_id", "date", "exception_type"], [])
+
+    conns = pipeline.convert(
+        stop_times, trips, routes, stops, calendar, calendar_dates,
+        dedupe=True, salt_n=None,
+    )
+    got = {(r.trip_id, r.service_date) for r in conns.select("trip_id", "service_date").collect()}
+    # first rule (T0000) claims mon; T0001 adds tue; 998 others add nothing
+    assert got == {("T0000", "20070101"), ("T0001", "20070102")}

@@ -181,3 +181,80 @@ def test_recrawled_page_newest_wins_batch_path(spark):
         e["calendar"], e["calendar_dates"], salt_n=8,
     )
     assert conns.count() == fixtures.SAMPLE_FEED_CONNECTIONS
+
+
+def test_hostile_header_variant_count_stays_linear(spark):
+    """VERDICT r3 #5: ~100 header variants of one gtfs file must NOT
+    produce ~100 union branches or a ~100-row driver collect — the
+    MAX_HEADER_BRANCHES most common headers get dedicated branches and
+    the tail routes through ONE generic name-mapping branch. Values
+    must come out identical either way."""
+    import itertools
+
+    base_cols = ["stop_id", "stop_name", "stop_desc", "stop_lat", "stop_lon"]
+    rows = []
+    perms = itertools.permutations(base_cols)
+    for i, perm in enumerate(itertools.islice(perms, 100)):
+        hdr = ",".join(perm)
+        vals = {
+            "stop_id": f"S{i:03d}",
+            "stop_name": f"Stop {i}",
+            "stop_desc": f"desc{i}",
+            "stop_lat": "1.0",
+            "stop_lon": "2.0",
+        }
+        body = ",".join(vals[c] for c in perm)
+        text = f"{fixtures.GTFS_MARKER} stops.txt feed=hostile\n{hdr}\n{body}\n"
+        rows.append((f"http://x/h{i:03d}", text))
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    e = extraction.extract_entities(pages, persist=False)
+    stops = e["stops"]
+    got = {r.stop_id: (r.stop_name, r.stop_desc) for r in stops.collect()}
+    assert len(got) == 100
+    assert got["S042"] == ("Stop 42", "desc42")
+
+    # plan stays linear: one posexplode per branch — at most the
+    # dedicated cap + ONE generic tail branch, NOT one per variant
+    # (inlined per-column from_csv copies are deduped at runtime by
+    # codegen subexpression elimination; branch count is the metric
+    # that scales with variants)
+    plan = stops._jdf.queryExecution().optimizedPlan().toString().lower()
+    from gtfs2lc_spark.extraction import MAX_HEADER_BRANCHES
+    assert 0 < plan.count("posexplode") <= MAX_HEADER_BRANCHES + 1
+
+
+def test_generic_tail_branch_required_check_and_quoting(spark):
+    """The generic branch enforces REQUIRED_COLS in-plan and parses
+    quoted fields exactly like the dedicated path."""
+    import itertools
+
+    base_cols = ["stop_id", "stop_name", "stop_desc", "stop_lat", "stop_lon"]
+    rows = []
+    # 20 variants so stops.txt overflows MAX_HEADER_BRANCHES=16
+    for i, perm in enumerate(itertools.islice(itertools.permutations(base_cols), 20)):
+        hdr = ",".join(perm)
+        vals = {
+            "stop_id": f"Q{i:02d}",
+            "stop_name": f'"quoted, ""name"" {i}"',
+            "stop_desc": "d",
+            "stop_lat": "0",
+            "stop_lon": "0",
+        }
+        body = ",".join(vals[c] for c in perm)
+        rows.append((f"http://x/q{i}", f"{fixtures.GTFS_MARKER} stops.txt feed=q\n{hdr}\n{body}\n"))
+    # plus a tail header MISSING the required stop_id -> rows dropped in-plan
+    rows.append((
+        "http://x/bad-tail",
+        f"{fixtures.GTFS_MARKER} stops.txt feed=q\nstop_name,stop_desc\nX,Y\n",
+    ))
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    e = extraction.extract_entities(pages, persist=False)
+    got = {r.stop_id: r.stop_name for r in e["stops"].collect()}
+    assert len(got) == 20 and "X" not in got.values()
+    assert got["Q07"] == 'quoted, "name" 7'

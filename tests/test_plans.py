@@ -63,8 +63,18 @@ def test_pipeline_plan_is_broadcast_only(spark, pages_parquet):
     # the dates explode in any subtree — i.e. exploded rows never
     # shuffle; approximate tree position via indentation:
     lines = plan.split("\n")
-    explode_idx = [i for i, l in enumerate(lines) if "explode" in l and "dates" in l]
-    assert explode_idx, "dates explode missing from plan"
+    # the invariant concerns the FINAL 180x service-date explode (J6);
+    # the J7 dedupe's oversized-group branch contains its own explode
+    # (alias _d) which is ALLOWED below the salt exchange — it carries
+    # zero rows unless a pathological >DUP_GROUP_THRESHOLD uniqueId
+    # group exists, and its date-level first-wins dedupe needs the
+    # shuffle by design
+    explode_idx = [
+        i
+        for i, l in enumerate(lines)
+        if "explode" in l and "dates" in l and "service_date" in l
+    ]
+    assert explode_idx, "service_date explode missing from plan"
     for i in explode_idx:
         depth = len(lines[i]) - len(lines[i].lstrip(" +-:"))
         # everything ABOVE the explode at shallower depth up to the root
