@@ -361,6 +361,15 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_features(d).drop("text")
 
 
+def _q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented Gopher-cutoff boilerplate filter over the
+    repetition signals: keep documents whose duplicated-line fraction
+    <= 0.30 AND duplicated-trigram fraction <= 0.50 (datapipe.text.
+    repetition_filter defaults). Output = surviving doc_ids."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.repetition_filter(d).select("doc_id")
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus sampling: membership = seeded hash bucket
     below rate*10000 — stable across runs, engines and re-reads
@@ -440,6 +449,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "hash_sample": _q_hash_sample,
         "text_repetition": _q_text_repetition,
+        "repetition_filter": _q_repetition_filter,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
@@ -910,6 +920,28 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams)
                     ELSE CAST(0 AS DOUBLE) END, 6) AS dup_trigrams_frac
             FROM tri
+        """,
+        "repetition_filter": """
+            WITH seg AS (
+              SELECT doc_id,
+                list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                            l -> l <> '') AS lines,
+                list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '') AS w
+              FROM documents
+            ), tri AS (
+              SELECT doc_id, lines,
+                list_transform(
+                  range(1, greatest(len(w) - 2, 0) + 1),
+                  i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS trigrams
+              FROM seg
+            )
+            SELECT doc_id FROM tri
+            WHERE round(CASE WHEN len(lines) > 0
+                    THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                    ELSE CAST(0 AS DOUBLE) END, 6) <= 0.30
+              AND round(CASE WHEN len(trigrams) > 0
+                    THEN CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams)
+                    ELSE CAST(0 AS DOUBLE) END, 6) <= 0.50
         """,
         "winnowing_fingerprints": f"""
             SELECT doc_id,

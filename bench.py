@@ -188,12 +188,15 @@ def main() -> None:
                 thunk()
                 runs[name].append(round(time.perf_counter() - t0, 3))
 
+    bench_t0 = time.perf_counter()
+    max_sec = float(os.environ.get("SPARK_GRAFT_MAX_SEC", "1200"))
     for _ in range(base_rounds):
         run_round()
     # adaptive: if the headline's best is still an outlier vs its median
-    # (a noisy set), buy up to 2 extra interleaved rounds
+    # (a noisy set), buy up to 2 extra interleaved rounds — but never
+    # push the whole bench past the wall-clock budget
     extra = 0
-    while extra < 2:
+    while extra < 2 and time.perf_counter() - bench_t0 < max_sec:
         h = runs["gtfs_pipeline_triples"]
         if min(h) / statistics.median(h) >= 1 / 1.3:
             break

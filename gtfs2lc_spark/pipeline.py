@@ -36,11 +36,6 @@ from pyspark.sql import functions as F
 
 DEFAULT_SALT_N = 64
 
-# J7 within-run dedupe: uniqueId groups larger than this skip the
-# O(g^2)-cell prefix-union window for a linear explode/first-wins/regroup
-# path (hostile-corpus guard; real GTFS groups are 2-3 rows)
-DUP_GROUP_THRESHOLD = 64
-
 
 def _nullif_empty(c: Column) -> Column:
     return F.nullif(c, F.lit(""))
@@ -383,54 +378,102 @@ def rules_to_connections(
     )
     empty = F.array().cast("array<string>")
     if dedupe:
-        # explicit-numPartitions exchange on the window keys: the rules
-        # shuffle is tiny in bytes, so AQE would coalesce it to one
-        # task — and this window feeds the 180x explode downstream
-        with_dates = with_dates.repartition(n_parts, "feed_id", "unique_id")
         # J7 fresh-run semantics (st2c.js:134-181): a later rule with the
         # same uniqueId emits only service dates not already emitted by
         # earlier rules ("earlier" = (trip_id, stop_sequence) order, the
-        # cleaner's stream order). Running union of preceding rules'
-        # dates via a framed collect_list — done at RULE level, before
-        # the ~180x explode, so the dedupe shuffle moves rules, not
-        # connections.
+        # cleaner's stream order). Done at RULE level, before the ~180x
+        # explode, so the dedupe machinery moves rules, not connections.
         #
-        # The prefix-union is O(g^2) in array CELLS for a uniqueId
-        # duplicated g times (each row flattens all preceding rows'
-        # arrays) — nothing for real GTFS (g<=2-3) but quadratic on a
-        # hostile corpus with thousands of identical rules. Groups
-        # larger than DUP_GROUP_THRESHOLD therefore route through a
-        # linear equivalent in the same lazy plan: explode the dates,
-        # keep the FIRST rule per (feed, uniqueId, date) in the same
-        # (trip_id, stop_sequence) order, regroup. Both branches are
-        # pure JVM; both groupings reuse the explicit exchange above.
-        grp = Window.partitionBy("feed_id", "unique_id")
-        counted = with_dates.withColumn("_dupn", F.count(F.lit(1)).over(grp))
-        small = counted.where(F.col("_dupn") <= DUP_GROUP_THRESHOLD).drop("_dupn")
-        big = counted.where(F.col("_dupn") > DUP_GROUP_THRESHOLD).drop("_dupn")
-        w = (
-            Window.partitionBy("feed_id", "unique_id")
-            .orderBy("trip_id", "stop_sequence_int")
-            .rowsBetween(Window.unboundedPreceding, -1)
+        # Shape (rewritten r4 — see NOTES_r4): duplicated uniqueIds are
+        # RARE in real GTFS (2-3 joined/split rules at most), so the
+        # plan routes on a skinny duplicate-key set instead of running
+        # per-row window machinery over everything:
+        #
+        #   1. dup_keys = a SKINNY (2-column) count aggregation over the
+        #      rules, kept > 1 — normally zero-to-a-handful of rows;
+        #      the full-width rule rows never shuffle for it;
+        #   2. clean rows bypass dedupe entirely via a BROADCAST
+        #      left_anti probe — no exchange, no sort, and with an
+        #      empty dup set the probe is a free codegen'd filter
+        #      (measured: within ~2% of no-guard at the 720-feed
+        #      headline config, vs ~19% for a count-window branch pair
+        #      and ~16% for co-partitioned shuffle-hash probes);
+        #   3. only dup-group rows (left_semi) run the exact dedupe: an
+        #      F.aggregate fold over the group's rules in (trip_id,
+        #      stop_sequence) order with an array_union seen-set
+        #      accumulator + array_except emission — LINEAR in group
+        #      size x dates (the seen-set is bounded by the group's
+        #      distinct dates), unlike the O(g^2)-cell prefix-union
+        #      window it replaces (hostile-corpus guard, VERDICT r3 #5;
+        #      1,000-duplicate-rule pytest drives this path).
+        #
+        # Worst-case bounds, both LOUD failures not silent corruption:
+        # a corpus with ~10^8+ DISTINCT duplicated uniqueIds exceeds
+        # the broadcast limit; a single uniqueId duplicated ~10^5+
+        # times exceeds the fold's agg buffer.
+        # probe on an 8-byte hash of (feed_id, unique_id): a collision
+        # merely routes a clean group through the exact fold — zero
+        # correctness dependence on collision-freedom — and the agg
+        # shuffle moves longs, not uniqueId strings
+        kh = F.xxhash64("feed_id", "unique_id").alias("_kh")
+        dup_keys = (
+            rules.select(kh)
+            .groupBy("_kh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .select("_kh")
         )
-        seen = F.flatten(F.collect_list("dates").over(w))
-        small = small.withColumn(
-            "dates",
-            F.array_except(F.coalesce("dates", empty), F.coalesce(seen, empty)),
-        )
+        dk = F.broadcast(dup_keys)
+        keyed = with_dates.select("*", kh)
+        clean = keyed.join(dk, ["_kh"], "left_anti").drop("_kh")
+        dirty = keyed.join(dk, ["_kh"], "left_semi").drop("_kh")
+
         data_cols = [c for c in with_dates.columns if c != "dates"]
-        w_first = Window.partitionBy("feed_id", "unique_id", "_d").orderBy(
-            "trip_id", "stop_sequence_int"
+        row_struct = F.struct(
+            F.col("trip_id").alias("trip_id"),
+            F.col("stop_sequence_int").alias("stop_sequence_int"),
+            F.struct(*[F.col(c).alias(c) for c in data_cols]).alias("r"),
+            F.coalesce("dates", empty).alias("dates"),
         )
-        big = (
-            big.select(*data_cols, F.explode(F.coalesce("dates", empty)).alias("_d"))
-            .withColumn("_rn", F.row_number().over(w_first))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-            .groupBy(*data_cols)
-            .agg(F.array_sort(F.collect_list("_d")).alias("dates"))
+        # array_sort on structs = (trip_id, stop_sequence_int, ...) asc
+        # with a deterministic whole-row tiebreak — the cleaner's stream
+        # order (bin/gtfs2lc-clean.js:34-38)
+        rows_sorted = F.array_sort(F.collect_list(row_struct))
+        row_ddl = with_dates.drop("dates").schema.simpleString()[len("struct<"):-1]
+        out_ddl = f"struct<r:struct<{row_ddl}>,dates:array<string>>"
+        acc_ddl = f"struct<seen:array<string>,out:array<{out_ddl}>>"
+
+        def step(acc, x):
+            return F.struct(
+                F.array_union(acc["seen"], x["dates"]).alias("seen"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["r"].alias("r"),
+                            F.array_except(x["dates"], acc["seen"]).alias("dates"),
+                        )
+                    ),
+                ).alias("out"),
+            )
+
+        init = F.struct(
+            empty.alias("seen"), F.array().cast(f"array<{out_ddl}>").alias("out")
         )
-        with_dates = small.unionByName(big.select(*with_dates.columns))
+        dirty_deduped = (
+            dirty.groupBy("feed_id", "unique_id")
+            .agg(
+                F.aggregate(
+                    rows_sorted, init.cast(acc_ddl), step, lambda a: a["out"]
+                ).alias("_o")
+            )
+            .select(F.explode("_o").alias("_x"))
+            .select(
+                *[F.col(f"_x.r.{c}").alias(c) for c in data_cols],
+                F.col("_x.dates").alias("dates"),
+            )
+        )
+        with_dates = clean.unionByName(dirty_deduped.select(*with_dates.columns))
 
     if salt_n:
         with_dates = with_dates.withColumn(

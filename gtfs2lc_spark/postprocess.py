@@ -108,15 +108,19 @@ def merge_movements(
     merge (``_merge_group_pdf``, O(n) per group, Arrow-batched); normal
     collision-sized groups (2-3 rows) never leave the JVM.
 
-    The routing is part of the SAME lazy plan (``_gn <= t`` -> JVM
-    fold, ``_gn > t`` -> applyInPandas, union): when no oversized group
-    exists the Python stage simply receives zero rows — Spark's pandas
-    exec nodes short-circuit empty partitions without spawning a
-    worker — so composing this into a larger plan costs no eager
-    materialization, no driver probe, and no extra job (the round-3
-    eager-guard shape cost ~1.7 s fixed per call at 208k connections).
-    ``big_group_threshold=None`` drops the guard (and the count window)
-    entirely for callers that vouch groups are collision-sized.
+    The routing is part of the SAME lazy plan: oversized movement keys
+    are detected by a SKINNY key-count aggregation (only the 5 movement
+    key columns shuffle for it) kept > threshold — normally ZERO rows —
+    and broadcast into a left_anti (JVM fold path) / left_semi
+    (applyInPandas path) probe pair. With an empty oversized set the
+    anti probe is a free codegen'd filter and the Python stage receives
+    zero rows — Spark's pandas exec nodes short-circuit empty
+    partitions without spawning a worker. No eager materialization, no
+    driver probe, no extra job, no per-branch count window (the
+    round-3 eager-guard shape cost ~1.7 s fixed per call at 208k
+    connections; the count-window branch pair it briefly became cost
+    ~0.4 s). ``big_group_threshold=None`` drops the guard entirely for
+    callers that vouch groups are collision-sized.
     """
     cols = jsonld.columns
     kcols = [f"_k_{k}" for k in MOVEMENT_KEYS]
@@ -125,13 +129,24 @@ def merge_movements(
         *[F.coalesce(F.col(k), F.lit("")).alias(kc) for k, kc in zip(MOVEMENT_KEYS, kcols)],
     )
     if big_group_threshold is not None:
-        keyed = keyed.withColumn(
-            "_gn", F.count(F.lit(1)).over(Window.partitionBy(*kcols))
+        # probe on an 8-byte hash of the movement key, not the 5 long
+        # URI/time strings (~300 bytes/row through the agg shuffle): a
+        # hash COLLISION merely routes an extra group to the pandas
+        # path, which is exact for any group — correctness never
+        # depends on collision-freedom
+        kh = F.xxhash64(*kcols).alias("_kh")
+        keyed = keyed.select("*", kh)
+        big_keys = (
+            keyed.groupBy("_kh")
+            .agg(F.count(F.lit(1)).alias("_gn"))
+            .where(F.col("_gn") > big_group_threshold)
+            .select("_kh")
         )
-        small = keyed.where(F.col("_gn") <= big_group_threshold).drop("_gn")
-        big = keyed.where(F.col("_gn") > big_group_threshold)
+        bk = F.broadcast(big_keys)
+        small = keyed.join(bk, ["_kh"], "left_anti").drop("_kh")
+        big = keyed.join(bk, ["_kh"], "left_semi").drop("_kh")
     else:
-        # guard disabled: single groupBy shuffle, no count window
+        # guard disabled: single groupBy shuffle, no key-count agg
         small, big = keyed, None
     empty = F.array().cast("array<string>")
     out_ddl = (
@@ -234,7 +249,7 @@ def merge_movements(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in jsonld.schema.fields]
         + ["`joinedWithTrip` array<string>", "`willSplitInto` array<string>"]
     )
-    drop_cols = kcols + ["_gn"]
+    drop_cols = kcols
 
     def _merge_big(pdf: pd.DataFrame) -> pd.DataFrame:
         out = _merge_group_pdf(pdf.drop(columns=drop_cols))

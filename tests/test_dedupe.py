@@ -156,11 +156,11 @@ def test_connected_components_converges_exactly_at_budget(spark):
 
 def test_thousand_duplicate_rules_route_linear_path(spark):
     """VERDICT r3 #5: a hostile feed with 1,000 identical-movement
-    trips (one uniqueId group of 1,000 rules) must not hit the O(g^2)
-    prefix-union window — groups above DUP_GROUP_THRESHOLD take the
-    linear explode/first-wins/regroup branch, with identical J7
-    semantics: the first rule in (trip_id, stop_sequence) order keeps
-    its dates, later rules emit only dates unseen so far."""
+    trips (one uniqueId group of 1,000 rules) must stay LINEAR — dup
+    groups run the seen-set fold (array_union accumulator), never an
+    O(g^2)-cell prefix-union — with exact J7 semantics: the first rule
+    in (trip_id, stop_sequence) order keeps its dates, later rules emit
+    only dates unseen so far."""
     f = lambda *r: (*r, "f", "u")  # noqa: E731
     n = 1_000
     st_rows, trip_rows, cal_rows = [], [], []
