@@ -64,11 +64,10 @@ def test_pipeline_plan_is_broadcast_only(spark, pages_parquet):
     # shuffle; approximate tree position via indentation:
     lines = plan.split("\n")
     # the invariant concerns the FINAL 180x service-date explode (J6);
-    # the J7 dedupe's oversized-group branch contains its own explode
-    # (alias _d) which is ALLOWED below the salt exchange — it carries
-    # zero rows unless a pathological >DUP_GROUP_THRESHOLD uniqueId
-    # group exists, and its date-level first-wins dedupe needs the
-    # shuffle by design
+    # the J7 dedupe's dup-group fold branch explodes its own folded
+    # output below the salt exchange — ALLOWED: it carries zero rows
+    # unless duplicated uniqueIds exist, and those rows are rare by
+    # construction
     explode_idx = [
         i
         for i, l in enumerate(lines)
