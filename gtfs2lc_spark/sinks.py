@@ -15,6 +15,12 @@ from .uris import ConnectionColumns, URIStrategy
 
 ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
+# dense_index sample-pass routing: TakeOrderedAndProject's driver merge
+# sees O(P x k) rows; above this budget the counted hash-threshold path
+# (driver O(k), independent of P) takes over. 8M keeps the sandbox's
+# 64-partition x 100k config on the count-free path.
+_SAMPLE_DRIVER_BUDGET_ROWS = 8_000_000
+
 # The @context record worker 0 emits as the first jsonld/mongold line —
 # exact key set and order of linkedConnectionsContext()
 # (lib/gtfs2connections.js:317-333)
@@ -290,6 +296,20 @@ def dense_index(
     a dedicated count() — a third full pass the hash-bottom-k sample
     makes unnecessary.)
 
+    Huge-partition-count inputs: TakeOrderedAndProject's driver merge
+    receives each partition's LOCAL bottom-k, i.e. O(P x k) rows — at
+    1e5 scan partitions and k=1e5 that is 1e10 rows through the
+    driver, a scale-killer. When ``P x sample_size`` exceeds
+    ``_SAMPLE_DRIVER_BUDGET_ROWS`` the sample pass switches to a
+    hash-threshold scheme: one cheap narrow count() sizes a threshold
+    T with ~2k expected rows below it (xxhash64 is uniform over the
+    long range), and ``where(_h <= T).orderBy(_h).limit(k)`` then
+    ships O(k) rows to the driver REGARDLESS of P. Both paths are
+    pure JVM; the threshold path trades one extra narrow map-side
+    pass for driver traffic independent of cluster size. Boundary
+    choice only affects bucket BALANCE, never correctness, so the
+    paths are interchangeable semantically (pytest drives both).
+
     Rows whose key compares NULL against a boundary (null key fields)
     land in bucket 0, matching the window's default nulls-first
     ascending order.
@@ -315,14 +335,22 @@ def dense_index(
         # null-containing keys are excluded from boundary candidates
         # (they sort before every boundary -> bucket 0, the window's
         # nulls-first order) — and None tuples don't sort in Python
+        narrow = df.select(
+            *key_cols, F.xxhash64(*key_cols, F.lit(seed)).alias("_h")
+        )
+        # .rdd triggers physical planning only (no job); with AQE the
+        # count is the pre-execution estimate, fine for a path heuristic
+        n_input_parts = max(1, df.rdd.getNumPartitions())
+        if n_input_parts * sample_size > _SAMPLE_DRIVER_BUDGET_ROWS:
+            # huge-P path: bound driver traffic at O(k) via a counted
+            # hash threshold (see docstring)
+            total = narrow.count()
+            frac = min(1.0, (2.0 * sample_size) / total) if total else 0.0
+            thresh = min(2**63 - 1, int(-(2.0**63) + frac * 2.0**64))
+            narrow = narrow.where(F.col("_h") <= F.lit(thresh))
         sample = sorted(
             tuple(r)[:-1]
-            for r in df.select(
-                *key_cols, F.xxhash64(*key_cols, F.lit(seed)).alias("_h")
-            )
-            .orderBy("_h")
-            .limit(sample_size)
-            .collect()
+            for r in narrow.orderBy("_h").limit(sample_size).collect()
             if None not in tuple(r)[:-1]
         )
         if sample:

@@ -271,3 +271,30 @@ def test_dense_index_null_keys(spark):
     # nulls-first global order
     ordered = sorted(idx, key=lambda k: idx[k])
     assert ordered[0] == (None, 1)
+
+
+def test_dense_index_hash_threshold_sample_path(spark, monkeypatch):
+    """The huge-partition-count sample path (counted hash threshold,
+    driver O(k) regardless of P) must produce the same dense index as
+    a global dense_rank — boundary choice affects balance only."""
+    monkeypatch.setattr(sinks, "_SAMPLE_DRIVER_BUDGET_ROWS", 0)
+    rows = [(f"k{i % 37:03d}", i % 11) for i in range(2000)] + [("a", None), (None, 5)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = sinks.dense_index(df, ["k", "v"], n_parts=8, sample_size=200).collect()
+    got = {}
+    for r in out:
+        got.setdefault((r.k, r.v), set()).add(r._dense_idx)
+    assert all(len(s) == 1 for s in got.values())
+    idx = {k: s.pop() for k, s in got.items()}
+    # dense 0..D-1 and ordered like the nulls-first global sort
+    assert sorted(idx.values()) == list(range(len(idx)))
+    key = lambda kv: ((kv[0] is not None, kv[0] or ""), (kv[1] is not None, kv[1] or 0))
+    expect_order = sorted(idx, key=key)
+    got_order = sorted(idx, key=lambda k: idx[k])
+    assert got_order == expect_order
+
+
+def test_dense_index_threshold_path_empty_input(spark, monkeypatch):
+    monkeypatch.setattr(sinks, "_SAMPLE_DRIVER_BUDGET_ROWS", 0)
+    df = spark.createDataFrame([], "k string, v int")
+    assert sinks.dense_index(df, ["k", "v"], n_parts=4).collect() == []
