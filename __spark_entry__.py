@@ -234,6 +234,14 @@ def _q_corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_token_histogram(d)
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed tf-idf — distributed
+    keyword extraction (tokenize/explode + two map-side-combinable
+    aggregations + term-keyed join + per-doc row_number)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.tfidf_top_terms(d, top_k=3, min_token_len=3)
+
+
 def _q_gtfs_next_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/J9 base case: per-trip nextConnection via lead() over the
     reference sort order (bin/linkedconnections-sort.js:137-171)."""
@@ -450,6 +458,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "text_repetition": _q_text_repetition,
         "repetition_filter": _q_repetition_filter,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
@@ -942,6 +951,29 @@ def oracle_sql() -> dict[str, str]:
               AND round(CASE WHEN len(trigrams) > 0
                     THEN CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams)
                     ELSE CAST(0 AS DOUBLE) END, 6) <= 0.50
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM documents,
+                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+              WHERE length(t) >= 3
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+            ), dft AS (
+              SELECT term, COUNT(*) AS _df FROM tf GROUP BY 1
+            ), n AS (
+              SELECT COUNT(*) AS _n FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * (ln((n._n + 1.0) / (dft._df + 1.0)) + 1.0), 6) AS tfidf
+              FROM tf JOIN dft USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, tfidf, rnk FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+              FROM scored
+            ) WHERE rnk <= 3
         """,
         "winnowing_fingerprints": f"""
             SELECT doc_id,

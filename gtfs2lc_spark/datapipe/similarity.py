@@ -164,6 +164,13 @@ def kmeans_centroids(
     means (map-side partial agg: only k x dim partials ever shuffle).
     The driver holds k x dim floats — never corpus rows. Empty clusters
     keep their previous centroid.
+
+    Driver-traffic bound: the seeding ``take(n_centroids)`` is a
+    TakeOrderedAndProject whose driver merge receives each scan
+    partition's local bottom-k — O(P x n_centroids) rows. A coarse
+    quantizer keeps n_centroids small by construction (16-1024, ~sqrt
+    of the list count you want), so even at P~1e5 the merge stays in
+    the tens of MB; it does NOT grow with corpus rows.
     """
     first = corpus.select(vec_col).orderBy(id_col).take(n_centroids)
     cents = [[float(x) for x in r[0]] for r in first]

@@ -6,7 +6,7 @@ equivalent so the driver's oracle can verify values bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small, fixed stopword sets per language — enough signal for an n-gram
@@ -284,3 +284,69 @@ def rolling_fingerprints(
     selected = F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
     # sequence(1, x) counts down when x < 1 — guard short texts
     return F.when(n >= window, selected).otherwise(F.array().cast("array<bigint>"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Per-document top-``top_k`` terms by smoothed tf-idf — distributed
+    keyword extraction over the whole corpus (the signal behind topic
+    tagging / domain balancing in a training-data pipeline).
+
+    tf = the term's count within the document (lowercased alpha tokens
+    of length >= ``min_token_len``); idf = ln((N + 1) / (df_t + 1)) + 1
+    (the sklearn smoothed variant, never negative); score = tf x idf
+    rounded to 6 dp, ties broken by term ascending so the ranking is
+    total-ordered and engine-reproducible (DuckDB oracle recomputes it
+    exactly).
+
+    Scale shape: one narrow tokenize + explode, then two hash
+    aggregations — (doc, term) term-frequency and (term)
+    document-frequency — both map-side combinable, a (term)-keyed
+    equi-join of the two (the heaviest terms are exactly the
+    high-df/low-idf ones, and their per-term reduce is a count, so the
+    zipfian skew collapses map-side instead of hot-keying the join),
+    one single-row broadcast for the corpus size N, and a per-document
+    row_number window that reuses the tf aggregation's (doc, term)
+    clustering. No pass ever materializes more than one row per
+    (document, distinct term).
+    """
+    terms = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: F.length(t) >= min_token_len,
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(terms).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("_n")))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(n_docs)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= top_k)
+    )

@@ -351,3 +351,31 @@ def test_repetition_filter(spark):
                                    max_dup_trigram_frac=1.0, keep_signals=True)
     assert {"dup_lines_frac", "dup_trigrams_frac"} <= set(audited.columns)
     assert audited.count() == 3
+
+
+def test_tfidf_top_terms(spark):
+    """tf-idf keyword extraction: a term concentrated in one document
+    outranks corpus-wide terms there; ranks are dense 1..k, scores
+    non-increasing, and ties break by term ascending."""
+    rows = [
+        (1, "zebra zebra zebra common word common word"),
+        (2, "common word common word common word"),
+        (3, "apple banana common word"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.tfidf_top_terms(df, top_k=2, min_token_len=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # empty doc contributes no terms
+    assert 4 not in by_doc
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.tfidf for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    # doc 1's signature term wins over the corpus-wide 'common'/'word'
+    assert by_doc[1][0].term == "zebra" and by_doc[1][0].tf == 3
+    # doc 3: apple/banana tie (tf=1, df=1 each) -> term-asc tiebreak
+    assert [r.term for r in by_doc[3]] == ["apple", "banana"]
