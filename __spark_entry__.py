@@ -242,6 +242,57 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(d, top_k=3, min_token_len=3)
 
 
+# deterministic PII suffix so the scrub comparison is non-trivial (the
+# synthetic corpus contains no PII): one email, one phone, one IPv4 per
+# document, derived from doc_id — built IDENTICALLY in Spark and SQL
+def _pii_augmented(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), did, F.lit("@ex-"), did,
+            F.lit(".org or +1-202-555-0"),
+            F.lpad(F.pmod(did, F.lit(1000)).cast("string"), 3, "0"),
+            F.lit(" ip 10.0."), F.pmod(did, F.lit(256)), F.lit(".7"),
+        ).alias("text"),
+    )
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-precision PII redaction (email / phone / IPv4) + per-doc
+    hit counts; compared via md5 of the scrubbed text so any engine
+    divergence in the regex semantics is caught byte-level."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.pii_scrub(_pii_augmented(d))
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("scrubbed_md5"),
+        "pii_email_hits", "pii_phone_hits", "pii_ipv4_hits",
+    )
+
+
+def _pii_scrub_oracle() -> str:
+    aug = (
+        "text || ' contact u' || doc_id || '@ex-' || doc_id || "
+        "'.org or +1-202-555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || "
+        "' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    # nest regexp_replace in PII_PATTERNS declaration order, innermost
+    # first — identical application order to the Spark loop
+    scrub = "text"
+    for _name, pat, token in text.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    hit_cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS pii_{name}_hits"
+        for name, pat, _ in text.PII_PATTERNS
+    )
+    return (
+        "WITH aug AS (SELECT doc_id, " + aug + " AS text FROM documents) "
+        "SELECT doc_id, md5(" + scrub + ") AS scrubbed_md5, " + hit_cols + " FROM aug"
+    )
+
+
 def _q_gtfs_next_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/J9 base case: per-trip nextConnection via lead() over the
     reference sort order (bin/linkedconnections-sort.js:137-171)."""
@@ -459,6 +510,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "repetition_filter": _q_repetition_filter,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "pii_scrub": _q_pii_scrub,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
@@ -952,6 +1004,7 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams)
                     ELSE CAST(0 AS DOUBLE) END, 6) <= 0.50
         """,
+        "pii_scrub": _pii_scrub_oracle(),
         "tfidf_top_terms": """
             WITH toks AS (
               SELECT doc_id, t AS term

@@ -350,3 +350,51 @@ def tfidf_top_terms(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= top_k)
     )
+
+
+# PII scrubbing: conservative, deterministic patterns shared verbatim
+# with the DuckDB oracle. Java regex and RE2 agree on this subset (no
+# backreferences, no lookaround). Patterns are deliberately
+# high-precision / moderate-recall — a training-data scrub wants no
+# false redactions of ordinary text; corpus-specific recall tuning
+# layers more patterns on top.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, regex, replacement token) — scrub order matters: ipv4
+    # BEFORE phone, because a dotted quad with multi-digit octets
+    # (192.168.001.007) is also phone-shaped and the more specific
+    # pattern must win the redaction
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", count_hits: bool = True
+) -> DataFrame:
+    """Redact high-precision PII patterns (emails, phone-shaped
+    numbers, IPv4 literals) from ``text_col`` — the standard scrub a
+    web corpus gets before training. Pure chained ``regexp_replace``
+    (whole-stage codegen, narrow, zero shuffle); with ``count_hits``
+    each pattern also gets a per-document match count column
+    (``pii_<name>_hits``) so a filter stage can drop PII-dense
+    documents instead of just masking them.
+
+    Patterns are applied in declaration order (email, ipv4, phone —
+    dotted quads redact as <IP>, not <PHONE>); replacement tokens
+    cannot re-trigger later patterns (no '@', digits-in-shape, or dots
+    inside the tokens). Hit counts are INDEPENDENT per-pattern match
+    counts over the original text — an IPv4 literal that is also
+    phone-shaped counts once under each signal."""
+    out_cols = [c for c in df.columns if c != text_col]
+    scrubbed = F.col(text_col)
+    hits = []
+    for name, pat, token in PII_PATTERNS:
+        if count_hits:
+            hits.append(
+                F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+                .cast("long")
+                .alias(f"pii_{name}_hits")
+            )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(*out_cols, scrubbed.alias(text_col), *hits)

@@ -379,3 +379,31 @@ def test_tfidf_top_terms(spark):
     assert by_doc[1][0].term == "zebra" and by_doc[1][0].tf == 3
     # doc 3: apple/banana tie (tf=1, df=1 each) -> term-asc tiebreak
     assert [r.term for r in by_doc[3]] == ["apple", "banana"]
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk today"),
+        (2, "call +1-202-555-0143 or +32 22 555 1234 now"),
+        (3, "server at 192.168.001.007 and 10.0.0.7."),
+        (4, "no pii here, just 1.5 percent and v2.0 tags"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+    assert out[1].text == "mail me at <EMAIL> today"
+    assert out[1].pii_email_hits == 1 and out[1].pii_phone_hits == 0
+    assert out[2].text == "call <PHONE> or <PHONE> now"
+    assert out[2].pii_phone_hits == 2
+    assert out[3].text == "server at <IP> and <IP>."
+    assert out[3].pii_ipv4_hits == 2
+    # version strings and decimals must NOT be redacted
+    assert out[4].text == rows[3][1]
+    assert (out[4].pii_email_hits, out[4].pii_phone_hits, out[4].pii_ipv4_hits) == (0, 0, 0)
+    assert out[5].text == ""
+    # schema: original cols preserved, text in place, hit cols appended
+    assert text.pii_scrub(df).columns == [
+        "doc_id", "text", "pii_email_hits", "pii_ipv4_hits", "pii_phone_hits"
+    ]
+    # count_hits=False keeps the input schema exactly
+    assert text.pii_scrub(df, count_hits=False).columns == ["doc_id", "text"]
