@@ -242,6 +242,20 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(d, top_k=3, min_token_len=3)
 
 
+def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing word 4-grams with
+    a benchmark set (deterministic subset doc_id % 100 == 7, acting as
+    the eval set), self-pairs excluded. Broadcast hash join on the
+    gram — nothing all-pairs."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return text.ngram_contamination(d, bench, n=4).where(
+        F.col("doc_id") != F.col("bench_id")
+    )
+
+
 # deterministic PII suffix so the scrub comparison is non-trivial (the
 # synthetic corpus contains no PII): one email, one phone, one IPv4 per
 # document, derived from doc_id — built IDENTICALLY in Spark and SQL
@@ -511,6 +525,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": _q_repetition_filter,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "pii_scrub": _q_pii_scrub,
+        "ngram_contamination": _q_ngram_contamination,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
@@ -1005,6 +1020,26 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST(0 AS DOUBLE) END, 6) <= 0.50
         """,
         "pii_scrub": _pii_scrub_oracle(),
+        "ngram_contamination": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(len(w) - 3, 0) + 1),
+                       i -> array_to_string(list_slice(w, i, i + 3), ' ')))) AS gram
+              FROM w
+            ), b AS (
+              SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 100 = 7
+            )
+            SELECT d.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM g d JOIN b ON d.gram = b.gram
+            WHERE d.doc_id <> b.bench_id
+            GROUP BY 1, 2
+        """,
         "tfidf_top_terms": """
             WITH toks AS (
               SELECT doc_id, t AS term

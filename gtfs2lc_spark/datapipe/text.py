@@ -398,3 +398,58 @@ def pii_scrub(
             )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return df.select(*out_cols, scrubbed.alias(text_col), *hits)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct lowercased word n-grams (space-joined). Mirror of the
+    repetition trigram construction, generalized to n. Documents with
+    fewer than ``n`` words yield an empty array."""
+    words = F.filter(F.split(F.lower(text), r"[^a-z]+"), lambda w: w != "")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share word
+    n-grams with an evaluation set (the standard leakage check a
+    training corpus runs before a model ships). Returns one row per
+    contaminated (document, benchmark item) pair with the count of
+    DISTINCT shared n-grams.
+
+    Scale shape: both sides reduce to exploded distinct n-grams
+    (narrow), the benchmark side is BROADCAST (eval sets are tiny
+    next to a 100-TB corpus — a few MB of n-grams), the join is a
+    broadcast hash join keyed on the gram, and the (doc, bench) count
+    aggregates map-side. The corpus is scanned once; nothing all-pairs
+    ever materializes — a document with zero shared grams never leaves
+    its scan partition.
+    """
+    d_grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    b_grams = benchmark.select(
+        F.col(bench_id_col), F.explode(word_ngrams(F.col(bench_text_col), n)).alias("_g")
+    )
+    return (
+        d_grams.join(F.broadcast(b_grams), "_g")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -407,3 +407,29 @@ def test_pii_scrub(spark):
     ]
     # count_hits=False keeps the input schema exactly
     assert text.pii_scrub(df, count_hits=False).columns == ["doc_id", "text"]
+
+
+def test_ngram_contamination(spark):
+    """A doc quoting a benchmark item is flagged with the right shared
+    count; clean docs and sub-n overlaps are not."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # quotes bench 10
+            (2, "zeta epsilon delta gamma beta alpha"),   # reversed: no 4-gram
+            (3, "totally unrelated words here friend"),
+            (4, "x alpha beta gamma delta y"),            # one shared 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")], "bench_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in text.ngram_contamination(corpus, bench, n=4).collect()
+    }
+    # doc 1 shares all three distinct 4-grams of the 6-word bench text
+    assert out == {(1, 10): 3, (4, 10): 1}
+    # plan: benchmark side must broadcast, no cartesian
+    plan = text.ngram_contamination(corpus, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
