@@ -242,6 +242,13 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(d, top_k=3, min_token_len=3)
 
 
+def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix balancing: per-source composition + the cap-share
+    downsampling rate (domain weighting)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return text.source_mix(d, cap_share=0.04)
+
+
 def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing word 4-grams with
     a benchmark set (deterministic subset doc_id % 100 == 7, acting as
@@ -526,6 +533,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "pii_scrub": _q_pii_scrub,
         "ngram_contamination": _q_ngram_contamination,
+        "source_mix": _q_source_mix,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
@@ -1020,6 +1028,21 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST(0 AS DOUBLE) END, 6) <= 0.50
         """,
         "pii_scrub": _pii_scrub_oracle(),
+        "source_mix": r"""
+            WITH s AS (
+              SELECT source,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(string_split_regex(trim(text), '\s+'))
+                              END) AS BIGINT) AS total_tokens,
+                     CAST(SUM(length(text)) AS BIGINT) AS total_chars
+              FROM documents GROUP BY source
+            ), n AS (SELECT COUNT(*) AS _n FROM documents)
+            SELECT source, n_docs, total_tokens, total_chars,
+                   round(CAST(n_docs AS DOUBLE) / _n, 6) AS share,
+                   round(least(1.0, (0.04 * _n) / n_docs), 6) AS sampling_rate
+            FROM s CROSS JOIN n
+        """,
         "ngram_contamination": """
             WITH w AS (
               SELECT doc_id,

@@ -453,3 +453,43 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def source_mix(
+    df: DataFrame,
+    cap_share: float = 0.10,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus-mix balancing: per-source composition stats plus the
+    deterministic downsampling rate that caps any one source at
+    ``cap_share`` of the corpus (the domain-weighting step of corpus
+    construction — overrepresented crawls get a rate < 1, everything
+    else passes through).
+
+    One groupBy(source) aggregation (map-side combinable; source
+    cardinality is tiny next to rows) joined to a 1-row broadcast of
+    the corpus totals. ``sampling_rate`` composes with hash_sample for
+    an exactly reproducible balanced corpus: keep a doc iff
+    pmod(xxhash64(id), 1e6) < rate * 1e6.
+    """
+    per_src = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("total_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("total_chars"),
+    )
+    totals = F.broadcast(df.agg(F.count(F.lit(1)).alias("_n_total")))
+    return per_src.crossJoin(totals).select(
+        source_col,
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.round(F.col("n_docs") / F.col("_n_total"), 6).alias("share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(cap_share) * F.col("_n_total")) / F.col("n_docs"),
+            ),
+            6,
+        ).alias("sampling_rate"),
+    )

@@ -433,3 +433,19 @@ def test_ngram_contamination(spark):
     # plan: benchmark side must broadcast, no cartesian
     plan = text.ngram_contamination(corpus, bench, n=4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_source_mix(spark):
+    """Overrepresented sources get a < 1 sampling rate that caps them
+    at cap_share; small sources pass through at 1.0."""
+    rows = [(i, "w " * 5, "big") for i in range(80)] + [
+        (100 + i, "w " * 5, "small") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in text.source_mix(df, cap_share=0.5).collect()}
+    assert out["big"].n_docs == 80 and out["small"].n_docs == 20
+    assert out["big"].share == 0.8 and out["small"].share == 0.2
+    assert out["small"].sampling_rate == 1.0
+    assert out["big"].sampling_rate == 0.625  # 0.5 * 100 / 80
+    # rate caps the expected share exactly at cap_share
+    assert out["big"].n_docs * out["big"].sampling_rate == 50.0
