@@ -23,7 +23,7 @@ Noise protocol (the host is CO-TENANTED; single runs inflate 3-10x):
    one exists within the budget.
 3. The artifact reports best AND median AND every raw run, plus the
    per-rep probe ratio and host loadavg, so a reader can bound the
-   residual noise instead of trusting one number: best/median <= ~1.3
+   residual noise instead of trusting one number: median/best <= ~1.3
    means the best-of is not a lucky outlier.
 
 All queries force full materialization via the noop datasource (count()
@@ -149,17 +149,31 @@ def main() -> None:
     triples_fc = triples_df.localCheckpoint(eager=True)
 
     qs = entry_mod.queries()
+    # every section's plan is built ONCE, here — the lambdas close over
+    # prebuilt DataFrames so the timed window contains executions only
+    # (per-rep py4j plan construction is ~0.1-2 s of constant driver
+    # cost that would otherwise inflate the small queries)
+    jas_df = postprocess.join_and_sort(jl)
+    entry_dfs = {
+        name: qs[name](spark, sf_dir)
+        for name in (
+            "w1_lag_pairs", "j6_date_explode", "broadcast_enrich",
+            "o2_multikey_sort", "dedup_exact", "text_token_count",
+        )
+    }
     sections: list[tuple[str, int, object]] = [
         # (name, reps per round, thunk)
         ("gtfs_pipeline_triples", 3, lambda: _force(triples_df)),
-        ("j8_j9_join_and_sort", 1, lambda: _force(postprocess.join_and_sort(jl))),
-        ("w1_lag_pairs", 1, lambda: _force(qs["w1_lag_pairs"](spark, sf_dir))),
-        ("j6_date_explode", 1, lambda: _force(qs["j6_date_explode"](spark, sf_dir))),
-        ("broadcast_enrich", 1, lambda: _force(qs["broadcast_enrich"](spark, sf_dir))),
-        ("o2_multikey_sort", 1, lambda: _force(qs["o2_multikey_sort"](spark, sf_dir))),
-        ("dedup_exact", 1, lambda: _force(qs["dedup_exact"](spark, sf_dir))),
-        ("text_token_count", 1, lambda: _force(qs["text_token_count"](spark, sf_dir))),
+        ("j8_j9_join_and_sort", 1, lambda: _force(jas_df)),
+        *[
+            (name, 1, lambda df=df: _force(df))
+            for name, df in entry_dfs.items()
+        ],
         (
+            # dense_index runs its sample + distinct-count passes at
+            # CONSTRUCTION time (driver actions) — they are part of the
+            # operator's cost, so w4 deliberately rebuilds inside the
+            # timed window, unlike the lazy sections above
             "w4_message_counter",
             1,
             lambda: _force(
@@ -229,9 +243,11 @@ def main() -> None:
                     "probe_quiet_sec": round(probe_best, 3),
                     "probe_ratio_at_rep": ratios,
                     "loadavg_at_rep": loads,
-                    "headline_best_over_median": round(
-                        best["gtfs_pipeline_triples"]
-                        / med["gtfs_pipeline_triples"],
+                    # median/best >= 1.0; <= ~1.3 means the best-of is
+                    # not a lucky outlier relative to the typical rep
+                    "headline_median_over_best": round(
+                        med["gtfs_pipeline_triples"]
+                        / best["gtfs_pipeline_triples"],
                         3,
                     ),
                 },

@@ -386,7 +386,6 @@ def pii_scrub(
     inside the tokens). Hit counts are INDEPENDENT per-pattern match
     counts over the original text — an IPv4 literal that is also
     phone-shaped counts once under each signal."""
-    out_cols = [c for c in df.columns if c != text_col]
     scrubbed = F.col(text_col)
     hits = []
     for name, pat, token in PII_PATTERNS:
@@ -397,7 +396,14 @@ def pii_scrub(
                 .alias(f"pii_{name}_hits")
             )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
-    return df.select(*out_cols, scrubbed.alias(text_col), *hits)
+    # input column ORDER is preserved (text replaced in place) so
+    # positional consumers (parquet appends, unionByName=False) stay
+    # aligned; hit columns append at the end
+    out_cols = [
+        scrubbed.alias(text_col) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*out_cols, *hits)
 
 
 def word_ngrams(text: Column, n: int) -> Column:

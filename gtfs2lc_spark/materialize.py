@@ -36,12 +36,18 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 CONF_KEY = "spark.gtfs2lc.materialize"
 CONF_DIR_KEY = "spark.gtfs2lc.materialize.dir"
 
 _VALID = ("local", "reliable", "parquet")
+
+# parquet-strategy staging dirs created in this process, per Spark
+# application id — swept by sweep_staging() at job/batch barriers so a
+# long-running streaming job doesn't accumulate one full intermediate
+# copy per materialize() call forever
+_STAGED_PATHS: dict[str, list[str]] = {}
 
 
 def materialize(df: DataFrame, label: str = "intermediate") -> DataFrame:
@@ -70,5 +76,32 @@ def materialize(df: DataFrame, label: str = "intermediate") -> DataFrame:
             )
         path = f"{base}/{label}-{uuid.uuid4().hex[:12]}"
         df.write.mode("error").parquet(path)
+        _STAGED_PATHS.setdefault(
+            spark.sparkContext.applicationId, []
+        ).append(path)
         return spark.read.parquet(path)
     raise ValueError(f"{CONF_KEY}={strategy!r}; expected one of {_VALID}")
+
+
+def sweep_staging(spark: SparkSession) -> list[str]:
+    """Delete the parquet staging dirs this process created via
+    ``materialize()`` and return the swept paths. Call at a BARRIER
+    where every downstream output of the staged intermediates is
+    already committed (end of a streaming micro-batch, end of a batch
+    job) — sweeping earlier breaks live DataFrames that still scan the
+    staged files. The 'local' and 'reliable' strategies have nothing
+    to sweep (localCheckpoint blocks die with the session; reliable
+    checkpoint dirs are reclaimed by Spark's
+    ``spark.cleaner.referenceTracking.cleanCheckpoints``).
+
+    Deletion goes through the Hadoop FileSystem API, so it works on
+    whatever storage CONF_DIR_KEY points at (local disk, HDFS, S3A)."""
+    paths = _STAGED_PATHS.pop(spark.sparkContext.applicationId, [])
+    if not paths:
+        return []
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm = spark.sparkContext._jvm
+    for p in paths:
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        hpath.getFileSystem(hconf).delete(hpath, True)
+    return paths

@@ -475,10 +475,18 @@ def rules_to_connections(
         )
         with_dates = clean.unionByName(dirty_deduped.select(*with_dates.columns))
 
+    # an EXPLICIT exchange must sit between the (tiny, AQE-coalescible)
+    # upstream shuffles and the ~180x explode, with or without salt —
+    # otherwise AQE coalesces the small pre-explode bytes to one
+    # partition and the explode runs on a single task
     if salt_n:
         with_dates = with_dates.withColumn(
             "salt", F.pmod(F.xxhash64("feed_id", "unique_id"), F.lit(salt_n))
         ).repartition(n_parts, F.col("feed_id"), F.col("trip_id"), F.col("salt"))
+    else:
+        with_dates = with_dates.repartition(
+            n_parts, F.col("feed_id"), F.col("trip_id")
+        )
 
     exploded = with_dates.withColumn(
         "service_date",

@@ -280,10 +280,11 @@ def dense_index(
     of driver-sampled boundary tuples below the key), so equal keys
     co-locate by construction and nothing needs to be pinned. TWO
     passes before the rank: (1) a bottom-``sample_size``-by-hash
-    sampling pass — ``orderBy(xxhash64(key, seed)).limit(k)`` compiles
-    to TakeOrderedAndProject (per-partition top-k heaps + driver
-    merge, NO shuffle, no prior count() to size a fraction: the k
-    rows with the smallest uniform hash ARE a uniform row sample) —
+    sampling pass — ``orderBy(xxhash64(key, seed, row_id)).limit(k)``
+    compiles to TakeOrderedAndProject (per-partition top-k heaps +
+    driver merge, NO shuffle, no prior count() to size a fraction: the
+    k rows with the smallest uniform per-row hash ARE a uniform row
+    sample, and a hot key occupies slots proportional to its rows) —
     picks <= ``n_parts``-1 boundary key tuples; (2) one aggregation
     counts DISTINCT keys per bucket (map-side combined; the driver
     sees <= ``n_parts`` rows). The rank pass then adds the broadcast
@@ -326,17 +327,27 @@ def dense_index(
     boundaries: list[tuple] = []
     if n_parts > 1:
         # uniform row sample WITHOUT a sizing count(): the sample_size
-        # rows with the smallest xxhash64(key, seed) — hash rank is
+        # rows with the smallest per-row hash — hash rank is
         # independent of key order, and TakeOrderedAndProject keeps the
         # whole pass map-side (a k-heap per partition, driver merge).
-        # Duplicate keys hash identically, so a hot key occupies sample
-        # slots proportional to its row count — exactly the row-quantile
-        # weighting bucket load-balance wants.
         # null-containing keys are excluded from boundary candidates
         # (they sort before every boundary -> bucket 0, the window's
-        # nulls-first order) — and None tuples don't sort in Python
+        # nulls-first order) — and None tuples don't sort in Python.
+        # The hash includes a PER-ROW disambiguator: hashing the key
+        # alone is all-or-nothing per key (equal keys share one hash),
+        # so a single key with >= sample_size rows whose hash landed in
+        # the bottom-k would deterministically flood the whole sample
+        # and collapse the boundaries to ~1. With the row id mixed in,
+        # each row is an independent uniform draw — a hot key is
+        # represented proportionally IN EXPECTATION with binomial
+        # concentration, never exclusively. (The row id is only
+        # run-stable, not job-stable — fine: the sample is collected
+        # exactly once and its boundaries become plan literals.)
         narrow = df.select(
-            *key_cols, F.xxhash64(*key_cols, F.lit(seed)).alias("_h")
+            *key_cols,
+            F.xxhash64(
+                *key_cols, F.lit(seed), F.monotonically_increasing_id()
+            ).alias("_h"),
         )
         # .rdd triggers physical planning only (no job); with AQE the
         # count is the pre-execution estimate, fine for a path heuristic
@@ -411,7 +422,14 @@ def triples_with_message_counter(
     merge order (which depends on its thread scheduling and shard
     round-robin; URI order is reproducible, stream order is not)."""
     uris = uris or URIStrategy(cc=ConnectionColumns())
-    triples = connections_to_triples(conns, uris)
+    from .materialize import materialize
+
+    # materialize once: dense_index runs 3 separate jobs (sample,
+    # distinct-count, rank) over its input — on a live conversion plan
+    # each would re-execute the whole upstream pipeline, and the
+    # dense_index contract requires a deterministic (checkpointed or
+    # scanned) input anyway
+    triples = materialize(connections_to_triples(conns, uris), "framed-triples")
     return dense_index(triples, ["subj"], n_parts).withColumnRenamed(
         "_dense_idx", "message_counter"
     )

@@ -49,7 +49,7 @@ from pyspark.sql.streaming import StreamingQuery
 from . import pipeline, sinks
 from .checkpoint import HistoryStore
 from .extraction import detect_pages, entities_from_detected
-from .materialize import materialize
+from .materialize import materialize, sweep_staging
 from .schemas import PAGES_SCHEMA
 
 
@@ -148,6 +148,11 @@ def process_pages_batch(
     store.commit(
         delta, run_info={"stream_batch_id": batch_id}, snapshot_id=batch_id
     )
+    # batch barrier: output + history are committed, so this batch's
+    # parquet-strategy staging dirs (detected/staged/delta) are garbage
+    # — sweep them or a long-running stream leaks one intermediate copy
+    # per materialize() call (no-op under local/reliable strategies)
+    sweep_staging(spark)
 
 
 def departure_volume_stream(

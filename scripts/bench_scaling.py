@@ -108,16 +108,30 @@ def main() -> None:
             if line.strip() == "READY":
                 break
 
+    def read_json_line(cpus: int) -> dict:
+        # skip any stray non-JSON stdout (JVM banners, warnings); EOF =
+        # the runner died — fail with the level named instead of a
+        # bare JSONDecodeError
+        while True:
+            line = procs[cpus].stdout.readline()
+            if not line:
+                raise RuntimeError(f"runner local[{cpus}] died mid-run")
+            if line.lstrip().startswith("{"):
+                return json.loads(line)
+
     runs: dict[int, list[dict]] = {c: [] for c in args.levels}
     for _ in range(args.reps):
         for cpus in args.levels:  # interleave: 2, 8, 32, 2, 8, 32, ...
             p = procs[cpus]
             p.stdin.write("go\n")
             p.stdin.flush()
-            runs[cpus].append(json.loads(p.stdout.readline()))
+            runs[cpus].append(read_json_line(cpus))
     for p in procs.values():
         p.stdin.close()
-        p.wait(timeout=120)
+        try:
+            p.wait(timeout=120)
+        except subprocess.TimeoutExpired:
+            p.kill()  # a slow JVM shutdown must not lose the results
 
     triples = args.feeds * 29992
     level = {}

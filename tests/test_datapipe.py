@@ -407,6 +407,13 @@ def test_pii_scrub(spark):
     ]
     # count_hits=False keeps the input schema exactly
     assert text.pii_scrub(df, count_hits=False).columns == ["doc_id", "text"]
+    # text NOT last: input column order must be preserved in place
+    df3 = spark.createDataFrame(
+        [(1, "a@b.co x", "src")], "doc_id long, text string, source string"
+    )
+    out3 = text.pii_scrub(df3)
+    assert out3.columns[:3] == ["doc_id", "text", "source"]
+    assert out3.collect()[0].text == "<EMAIL> x"
 
 
 def test_ngram_contamination(spark):
