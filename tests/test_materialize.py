@@ -97,3 +97,29 @@ def test_pipeline_runs_under_parquet_strategy(spark, tmp_path):
         alt = run()
     assert [r.id for r in base] == [r.id for r in alt]
     assert 0 < len(base) <= fixtures.SAMPLE_FEED_CONNECTIONS  # J8 merged
+
+
+def test_sweep_staging(spark, tmp_path):
+    """parquet staging dirs are registered and reclaimed by
+    sweep_staging(); local strategy has nothing to sweep."""
+    import os
+
+    # drain paths registered by earlier tests on the shared session
+    mat.sweep_staging(spark)
+    with _conf(
+        spark,
+        **{mat.CONF_KEY: "parquet", mat.CONF_DIR_KEY: str(tmp_path)},
+    ):
+        a = mat.materialize(_probe_df(spark), "sweep-a")
+        b = mat.materialize(_probe_df(spark), "sweep-b")
+        assert a.count() == 100 and b.count() == 100
+        staged = sorted(os.listdir(tmp_path))
+        assert len(staged) == 2
+        swept = mat.sweep_staging(spark)
+        assert len(swept) == 2
+        assert os.listdir(tmp_path) == []
+        # idempotent: second sweep is a no-op
+        assert mat.sweep_staging(spark) == []
+    # local strategy registers nothing
+    mat.materialize(_probe_df(spark))
+    assert mat.sweep_staging(spark) == []
