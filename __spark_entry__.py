@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gtfs2lc_spark import extraction, fixtures, oracle, pipeline, postprocess, sinks
-from gtfs2lc_spark.datapipe import dedup, multimodal, similarity, text
+from gtfs2lc_spark.datapipe import dedup, multimodal, packing, similarity, text
 
 
 def _pin_utc(spark: SparkSession) -> None:
@@ -247,6 +247,23 @@ def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     downsampling rate (domain weighting)."""
     d = _load(spark, sf_dir, "documents").select("doc_id", "text", "source")
     return text.source_mix(d, cap_share=0.04)
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: fixed 16-token windows per document.
+    Zero-shuffle narrow plan (tokenize -> sequence -> explode ->
+    slice)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return packing.doc_chunks(d, chunk_tokens=16)
+
+
+def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing span map: documents concatenated into 64-token
+    training sequences, packed independently per hash shard (4 shards
+    here; the data-parallel world size at cluster scale) so the prefix
+    sum never funnels through one reducer."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return packing.seq_pack(d, seq_tokens=64, n_shards=4, hash_fn="md5")
 
 
 def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,6 +554,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
+        "doc_chunks": _q_doc_chunks,
+        "seq_pack": _q_seq_pack,
     }
 
 
@@ -1108,5 +1127,54 @@ def oracle_sql() -> dict[str, str]:
                         WHEN starts_with(hex(encode(text)), '1A45DFA3') THEN 'video/webm'
                         ELSE 'application/octet-stream' END AS blob_mime
             FROM documents
+        """,
+        "doc_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tok
+              FROM documents
+            ), e AS (
+              SELECT doc_id, toks, n_tok,
+                     unnest(range(0, (n_tok + 15) // 16)) AS chunk_id
+              FROM t WHERE n_tok > 0
+            )
+            SELECT doc_id, chunk_id,
+                   least(16, n_tok - chunk_id * 16) AS n_chunk_tokens,
+                   array_to_string(
+                     toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' '
+                   ) AS chunk_text
+            FROM e
+        """,
+        "seq_pack": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tok,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_tok, h % 4 AS shard,
+                     CAST(COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY h % 4 ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS tok_start
+              FROM t WHERE n_tok > 0
+            ), e AS (
+              SELECT shard, doc_id, n_tok, tok_start,
+                     tok_start + n_tok AS tok_end,
+                     unnest(range(tok_start // 64,
+                                  (tok_start + n_tok - 1) // 64 + 1)) AS seq_id
+              FROM s
+            )
+            SELECT shard, seq_id, doc_id,
+                   greatest(tok_start, seq_id * 64) - tok_start AS doc_tok_start,
+                   greatest(tok_start, seq_id * 64) - seq_id * 64 AS seq_tok_start,
+                   least(tok_end, seq_id * 64 + 64)
+                     - greatest(tok_start, seq_id * 64) AS n_span_tokens
+            FROM e
         """,
     }

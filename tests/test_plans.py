@@ -121,3 +121,21 @@ def test_w1_window_shuffle_is_aqe_exempt(spark, feed):
     assert any(
         "feed_id" in l and "trip_id" in l for l in repart_lines
     ), plan
+
+
+def test_packing_plan_shapes(spark):
+    """doc_chunks is shuffle-free (pure narrow chunking — the property
+    that makes it a single scan at 100 TB); seq_pack shuffles exactly
+    once, on the shard key (the per-shard prefix sum), with no
+    SortMergeJoin or cartesian anywhere."""
+    from gtfs2lc_spark.datapipe import packing
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunk_plan = _executed_plan(packing.doc_chunks(docs, chunk_tokens=16))
+    assert "Exchange" not in chunk_plan
+
+    pack_plan = _executed_plan(packing.seq_pack(docs, seq_tokens=64, n_shards=4))
+    assert pack_plan.count("Exchange hashpartitioning") == 1
+    assert "shard" in pack_plan
+    assert "SortMergeJoin" not in pack_plan
+    assert "CartesianProduct" not in pack_plan
