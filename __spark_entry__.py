@@ -266,6 +266,15 @@ def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.seq_pack(d, seq_tokens=64, n_shards=4, hash_fn="md5")
 
 
+def _q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-count quantiles via counting sort —
+    the shuffle carries one row per distinct (lang, token count), not
+    per document, so the exact answer stays cheap at any corpus
+    size."""
+    d = _load(spark, sf_dir, "documents").select("lang", "text")
+    return text.token_quantiles(d, ps=(25, 50, 75, 90))
+
+
 def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing word 4-grams with
     a benchmark set (deterministic subset doc_id % 100 == 7, acting as
@@ -556,6 +565,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "doc_chunks": _q_doc_chunks,
         "seq_pack": _q_seq_pack,
+        "token_quantiles": _q_token_quantiles,
     }
 
 
@@ -1176,5 +1186,30 @@ def oracle_sql() -> dict[str, str]:
                    least(tok_end, seq_id * 64 + 64)
                      - greatest(tok_start, seq_id * 64) AS n_span_tokens
             FROM e
+        """,
+        "token_quantiles": r"""
+            WITH t AS (
+              SELECT lang AS _g,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS _v
+              FROM documents
+            ), h AS (
+              SELECT _g, _v, COUNT(*) AS _c FROM t GROUP BY 1, 2
+            ), c AS (
+              SELECT _g, _v,
+                     CAST(SUM(_c) OVER (PARTITION BY _g ORDER BY _v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS _cum,
+                     CAST(SUM(_c) OVER (PARTITION BY _g) AS BIGINT) AS _n
+              FROM h
+            ), e AS (
+              SELECT _g, _v, _cum, _n, unnest([25, 50, 75, 90]) AS p
+              FROM c
+            )
+            SELECT _g AS lang, p, MIN(_v) AS q_value, MAX(_n) AS n_docs
+            FROM e
+            WHERE _cum >= CAST(ceil(p * _n / 100.0) AS BIGINT)
+            GROUP BY 1, 2
         """,
     }

@@ -499,3 +499,61 @@ def source_mix(
             6,
         ).alias("sampling_rate"),
     )
+
+
+def token_quantiles(
+    df: DataFrame,
+    ps: tuple[int, ...] = (25, 50, 75, 90),
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT per-group token-count quantiles via counting sort.
+
+    Sort-based exact quantiles need every group's values sorted in one
+    place — with a handful of languages over a 100-TB corpus that is a
+    few giant single-reducer sorts. But the metric (whitespace token
+    count) has bounded cardinality, so exact quantiles reduce to a
+    histogram: ``groupBy(group, n_tok).count()`` (map-side combinable
+    — the shuffle carries one row per DISTINCT (group, value), not per
+    document), a cumulative sum over each group's histogram (window
+    over histogram-sized data), and for each requested percentile the
+    smallest value whose cumulative count reaches ``ceil(p/100 * n)``
+    — the classic lower/disc quantile definition, integer-exact in any
+    engine (no interpolation, no float quantile semantics to mismatch).
+
+    Emits ``(group_col, p, q_value, n_docs)`` sorted semantics-free —
+    one row per group x percentile.
+    """
+    if not ps or any(p < 1 or p > 100 for p in ps):
+        raise ValueError(f"ps must be percentages in 1..100, got {ps}")
+    g = F.col(group_col)
+    hist = (
+        df.select(g.alias("_g"), token_count(F.col(text_col)).alias("_v"))
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("_g")
+    cum = hist.select(
+        "_g",
+        "_v",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wtot).alias("_n"),
+    )
+    p_arr = F.array(*[F.lit(int(p)) for p in sorted(set(ps))])
+    exploded = cum.select(
+        "_g", "_v", "_cum", "_n", F.explode(p_arr).alias("p")
+    )
+    need = F.ceil(F.col("p") * F.col("_n") / 100.0).cast("long")
+    return (
+        exploded.where(F.col("_cum") >= need)
+        .groupBy(F.col("_g").alias(group_col), "p")
+        .agg(
+            F.min("_v").alias("q_value"),
+            F.max("_n").alias("n_docs"),
+        )
+    )

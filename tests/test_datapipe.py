@@ -456,3 +456,32 @@ def test_source_mix(spark):
     assert out["big"].sampling_rate == 0.625  # 0.5 * 100 / 80
     # rate caps the expected share exactly at cap_share
     assert out["big"].n_docs * out["big"].sampling_rate == 50.0
+
+
+def test_token_quantiles_exact(spark):
+    """Counting-sort quantiles equal the classic lower-quantile on the
+    sorted values: value at 1-based rank ceil(p/100 * n)."""
+    import math
+
+    rows = []
+    # en: token counts 1..10; de: all identical; fr: single doc
+    for i in range(1, 11):
+        rows.append((f"en{i}", "en", " ".join("x" for _ in range(i))))
+    for i in range(4):
+        rows.append((f"de{i}", "de", "a b c"))
+    rows.append(("fr0", "fr", "un deux"))
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    got = {
+        (r.lang, r.p): (r.q_value, r.n_docs)
+        for r in text.token_quantiles(df, ps=(25, 50, 75, 90)).collect()
+    }
+    vals = {"en": list(range(1, 11)), "de": [3, 3, 3, 3], "fr": [2]}
+    for lang, vs in vals.items():
+        vs = sorted(vs)
+        for p in (25, 50, 75, 90):
+            expect = vs[math.ceil(p * len(vs) / 100) - 1]
+            assert got[(lang, p)] == (expect, len(vs)), (lang, p)
+    assert len(got) == 12
+
+    with pytest.raises(ValueError, match="ps must"):
+        text.token_quantiles(df, ps=(0, 50))
