@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gtfs2lc_spark import extraction, fixtures, oracle, pipeline, postprocess, sinks
+from gtfs2lc_spark import extraction, fixtures, kg, oracle, pipeline, postprocess, sinks
 from gtfs2lc_spark.datapipe import dedup, multimodal, packing, similarity, text
 
 
@@ -104,6 +104,42 @@ def _q_gtfs_connections(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_gtfs_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = sinks.connections_to_triples(_fixture_connections(spark))
     return tr.select("subj", "pred", "obj")
+
+
+def _q_kg_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG star join: reassemble connection records from the triple
+    table — one conditional-aggregate groupBy, zero self-joins."""
+    tr = sinks.connections_to_triples(_fixture_connections(spark))
+    lc = "http://semweb.mmlab.be/ns/linkedconnections#"
+    gt = "http://vocab.gtfs.org/terms#"
+    return kg.star_join(
+        tr.select("subj", "pred", "obj"),
+        {
+            "departureStop": f"{lc}departureStop",
+            "arrivalStop": f"{lc}arrivalStop",
+            "departureTime": f"{lc}departureTime",
+            "arrivalTime": f"{lc}arrivalTime",
+            "gtfs_trip": f"{gt}trip",
+            "gtfs_route": f"{gt}route",
+            "headsign": f"{gt}headsign",
+        },
+    )
+
+
+def _q_kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG profiling: per-predicate triple + distinct subj/obj counts."""
+    tr = sinks.connections_to_triples(_fixture_connections(spark))
+    return kg.predicate_stats(tr.select("subj", "pred", "obj"))
+
+
+def _q_kg_earliest_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connection-Scan earliest arrival from STAGECOACH — iterative
+    broadcast label correction vs the oracle's recursive-CTE chain
+    enumeration."""
+    ea = kg.earliest_arrivals(
+        _fixture_connections(spark), "STAGECOACH", "2007-01-03 00:00:00"
+    )
+    return ea.select("stop", sinks.iso(F.col("earliest")).alias("earliest"))
 
 
 # ---------------------------------------------------------------------------
@@ -529,6 +565,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gtfs_rules": _q_gtfs_rules,
         "gtfs_connections": _q_gtfs_connections,
         "gtfs_triples": _q_gtfs_triples,
+        "kg_star_join": _q_kg_star_join,
+        "kg_predicate_stats": _q_kg_predicate_stats,
+        "kg_earliest_arrival": _q_kg_earliest_arrival,
         "w1_lag_pairs": _q_w1_lag_pairs,
         "j6_date_explode": _q_j6_date_explode,
         "broadcast_enrich": _q_broadcast_enrich,
@@ -784,6 +823,11 @@ def oracle_sql() -> dict[str, str]:
         "gtfs_rules": oracle.sql_rules(),
         "gtfs_connections": oracle.sql_connections(),
         "gtfs_triples": oracle.sql_triples(),
+        "kg_star_join": oracle.sql_star_join(),
+        "kg_predicate_stats": oracle.sql_predicate_stats(),
+        "kg_earliest_arrival": oracle.sql_earliest_arrival(
+            "STAGECOACH", "2007-01-03 00:00:00"
+        ),
         "w1_lag_pairs": """
             SELECT l_orderkey, l_linenumber, prev_linenumber, l_partkey, prev_partkey
             FROM (

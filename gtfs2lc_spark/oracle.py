@@ -388,3 +388,68 @@ UNION ALL SELECT id, '{gt}dropOffType', list_extract({full_boarding}, CAST(drop_
 UNION ALL SELECT id, '{gt}pickupType', list_extract({full_boarding}, CAST(pickup_type AS INT) + 1)
   FROM g_jsonld WHERE COALESCE(pickup_type, '') <> ''"""
     )
+
+
+def sql_star_join() -> str:
+    """KG star-join: reassemble connection records from the triple
+    table via conditional aggregation (one groupBy, no self-joins)."""
+    lc = "http://semweb.mmlab.be/ns/linkedconnections#"
+    gt = "http://vocab.gtfs.org/terms#"
+    cols = {
+        "departureStop": f"{lc}departureStop",
+        "arrivalStop": f"{lc}arrivalStop",
+        "departureTime": f"{lc}departureTime",
+        "arrivalTime": f"{lc}arrivalTime",
+        "gtfs_trip": f"{gt}trip",
+        "gtfs_route": f"{gt}route",
+        "headsign": f"{gt}headsign",
+    }
+    picks = ",\n       ".join(
+        f"MAX(CASE WHEN pred = '{iri}' THEN obj END) AS {name}"
+        for name, iri in cols.items()
+    )
+    return (
+        f"SELECT subj,\n       {picks}\n"
+        f"FROM ({sql_triples()}) t\nGROUP BY subj"
+    )
+
+
+def sql_predicate_stats() -> str:
+    """KG profiling: per-predicate triple / distinct-object counts."""
+    return (
+        "SELECT pred, COUNT(*) AS n_triples,"
+        " COUNT(DISTINCT obj) AS n_distinct_obj,"
+        " COUNT(DISTINCT subj) AS n_distinct_subj"
+        f" FROM ({sql_triples()}) t GROUP BY pred"
+    )
+
+
+def sql_earliest_arrival(source_stop: str, dep_after_utc: str) -> str:
+    """Time-respecting earliest arrival from ``source_stop`` at/after
+    ``dep_after_utc`` ('YYYY-MM-DD HH:MM:SS', a UTC instant) — the
+    Connection Scan answer set, as a recursive CTE enumerating
+    (stop, arrival) states (bounded by the connection count) then
+    taking the per-stop minimum.  Validates the label-correcting
+    Spark formulation in gtfs2lc_spark/kg.py against an
+    order-free enumeration of every time-respecting chain."""
+    t0 = f"CAST(epoch(TIMESTAMP '{dep_after_utc}') AS BIGINT)"
+    prelude = gtfs_prelude()
+    assert prelude.startswith("WITH ")
+    return (
+        "WITH RECURSIVE "
+        + prelude[len("WITH "):]
+        + f""",
+ea_base AS (
+  SELECT dep_stop_id, arr_stop_id, dep_epoch, arr_epoch
+  FROM g_connections WHERE dep_epoch >= {t0}
+),
+ea_reach(stop, t) AS (
+  SELECT '{source_stop}' AS stop, {t0} AS t
+  UNION
+  SELECT b.arr_stop_id, b.arr_epoch
+  FROM ea_reach r JOIN ea_base b
+    ON b.dep_stop_id = r.stop AND b.dep_epoch >= r.t
+)
+SELECT stop, {_iso('mt')} AS earliest
+FROM (SELECT stop, MIN(t) AS mt FROM ea_reach GROUP BY stop) m"""
+    )

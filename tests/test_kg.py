@@ -1,0 +1,186 @@
+"""KG query operators (gtfs2lc_spark/kg.py): star join, predicate
+stats, and Connection-Scan earliest arrival.
+
+The reference materializes the graph (lib/Connections2Triples.js) and
+leaves querying to its Linked Connections consumers; these operators
+are the Spark-side closure of that loop, so the tests pin them against
+first-principles recomputations rather than reference fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs2lc_spark import kg, sinks
+
+LC = "http://semweb.mmlab.be/ns/linkedconnections#"
+GT = "http://vocab.gtfs.org/terms#"
+
+
+@pytest.fixture(scope="module")
+def triples(connections):
+    return sinks.connections_to_triples(connections).select(
+        "subj", "pred", "obj"
+    ).cache()
+
+
+def test_star_join_roundtrips_connection_fields(connections, triples):
+    """Reassembling (dep stop, times) from triples must reproduce the
+    connection rows the triples were exploded from."""
+    star = kg.star_join(
+        triples,
+        {
+            "departureStop": f"{LC}departureStop",
+            "departureTime": f"{LC}departureTime",
+            "arrivalTime": f"{LC}arrivalTime",
+        },
+    )
+    jl = sinks.connections_to_jsonld(connections).select(
+        F.col("id").alias("subj"), "departureStop", "departureTime", "arrivalTime"
+    )
+    assert star.count() == jl.count()
+    assert (
+        star.join(jl, "subj")
+        .where(
+            (star["departureStop"] != jl["departureStop"])
+            | (star["departureTime"] != jl["departureTime"])
+            | (star["arrivalTime"] != jl["arrivalTime"])
+        )
+        .count()
+        == 0
+    )
+
+
+def test_star_join_missing_predicate_is_null(triples):
+    """OPTIONAL semantics: absent predicate -> NULL, not a dropped row."""
+    star = kg.star_join(
+        triples, {"nope": f"{GT}doesNotExist", "type": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"}
+    )
+    assert star.where(F.col("nope").isNotNull()).count() == 0
+    assert star.where(F.col("type").isNull()).count() == 0
+
+
+def test_star_join_single_shuffle(spark):
+    """The star join must plan as ONE hash aggregate (partial+final)
+    over one Exchange — no joins at all.  Asserted over a plain
+    source so upstream pipeline exchanges don't muddy the count."""
+    t = spark.createDataFrame(
+        [("s1", f"{GT}trip", "t1"), ("s1", f"{GT}route", "r1")],
+        "subj string, pred string, obj string",
+    )
+    plan = (
+        kg.star_join(t, {"t": f"{GT}trip", "r": f"{GT}route"})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_predicate_stats_counts(triples):
+    stats = {r["pred"]: r for r in kg.predicate_stats(triples).collect()}
+    n_conn = triples.where(
+        F.col("pred") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    ).count()
+    dep = stats[f"{LC}departureStop"]
+    assert dep["n_triples"] == n_conn
+    assert dep["n_distinct_subj"] == n_conn
+    # fixture has a bounded stop vocabulary
+    assert 0 < dep["n_distinct_obj"] < 50
+
+
+def _ea_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (d, a, dt.datetime.fromisoformat(t1), dt.datetime.fromisoformat(t2))
+            for d, a, t1, t2 in rows
+        ],
+        "dep_stop_id string, arr_stop_id string, "
+        "departure_ts timestamp, arrival_ts timestamp",
+    )
+
+
+def test_earliest_arrival_respects_time(spark):
+    """A connection departing before the frontier label is NOT
+    catchable; a later one is.  Chain A->B->C where the B->C leg at
+    09:00 departs before arrival at B (09:30) — only the 10:00 leg
+    works."""
+    conns = _ea_df(
+        spark,
+        [
+            ("A", "B", "2026-01-01T09:00:00", "2026-01-01T09:30:00"),
+            ("B", "C", "2026-01-01T09:00:00", "2026-01-01T09:10:00"),  # uncatchable
+            ("B", "C", "2026-01-01T10:00:00", "2026-01-01T10:40:00"),
+            ("X", "Y", "2026-01-01T11:00:00", "2026-01-01T11:30:00"),  # disconnected
+        ],
+    )
+    got = {
+        r["stop"]: r["earliest"]
+        for r in kg.earliest_arrivals(conns, "A", "2026-01-01 08:00:00").collect()
+    }
+    assert set(got) == {"A", "B", "C"}
+    assert got["B"] == dt.datetime(2026, 1, 1, 9, 30)
+    assert got["C"] == dt.datetime(2026, 1, 1, 10, 40)
+
+
+def test_earliest_arrival_min_label_dominates(spark):
+    """Two routes to B: slower direct, faster via C.  The faster
+    arrival must win even though it appears in a later relaxation
+    round (label correction, not label setting)."""
+    conns = _ea_df(
+        spark,
+        [
+            ("A", "B", "2026-01-01T08:00:00", "2026-01-01T12:00:00"),
+            ("A", "C", "2026-01-01T08:00:00", "2026-01-01T08:30:00"),
+            ("C", "B", "2026-01-01T09:00:00", "2026-01-01T09:30:00"),
+        ],
+    )
+    got = {
+        r["stop"]: r["earliest"]
+        for r in kg.earliest_arrivals(conns, "A", "2026-01-01 07:00:00").collect()
+    }
+    assert got["B"] == dt.datetime(2026, 1, 1, 9, 30)
+
+
+def test_earliest_arrival_nonconvergence_raises(spark):
+    """Exhausting max_rounds while labels still improve must raise —
+    same strict contract as connected_components."""
+    conns = _ea_df(
+        spark,
+        [
+            ("A", "B", "2026-01-01T08:00:00", "2026-01-01T08:10:00"),
+            ("B", "C", "2026-01-01T08:20:00", "2026-01-01T08:30:00"),
+            ("C", "D", "2026-01-01T08:40:00", "2026-01-01T08:50:00"),
+        ],
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kg.earliest_arrivals(conns, "A", "2026-01-01 07:00:00", max_rounds=1)
+
+
+def test_earliest_arrival_broadcasts_frontier(spark):
+    """The relaxation join must broadcast the label frontier — the
+    connection fact side never shuffles."""
+    conns = _ea_df(
+        spark, [("A", "B", "2026-01-01T08:00:00", "2026-01-01T08:10:00")]
+    )
+    labels = kg.earliest_arrivals(conns, "A", "2026-01-01 07:00:00")
+    # the loop has finished; assert the shape on a rebuilt single round
+    from gtfs2lc_spark.materialize import materialize
+
+    cset = conns.select(
+        F.col("dep_stop_id").alias("_dep"),
+        F.col("arr_stop_id").alias("_arr"),
+        F.col("departure_ts").alias("_dep_ts"),
+        F.col("arrival_ts").alias("_arr_ts"),
+    )
+    relax = cset.join(
+        F.broadcast(labels),
+        (cset["_dep"] == labels["stop"]) & (cset["_dep_ts"] >= labels["earliest"]),
+    )
+    plan = relax._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
