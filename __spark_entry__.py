@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gtfs2lc_spark import extraction, fixtures, kg, oracle, pipeline, postprocess, sinks
-from gtfs2lc_spark.datapipe import dedup, multimodal, packing, similarity, text
+from gtfs2lc_spark.datapipe import dedup, multimodal, packing, similarity, text, web
+from gtfs2lc_spark.datapipe import events as dp_events
 
 
 def _pin_utc(spark: SparkSession) -> None:
@@ -309,6 +310,67 @@ def _q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     d = _load(spark, sf_dir, "documents").select("lang", "text")
     return text.token_quantiles(d, ps=(25, 50, 75, 90))
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (1 h) of the event stream: one user-keyed
+    shuffle shared by both windows and the rollup."""
+    ev = _load(spark, sf_dir, "events")
+    st = dp_events.session_stats(ev, gap_seconds=3600)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return st.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "duration_us",
+    )
+
+
+def _url_messy():
+    h = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    return (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example"), h, F.lit(".COM:443/Path/"), i,
+                F.lit("?utm_source=feed&ref="), i, F.lit("&utm_campaign=x#sec"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(F.lit("http://example"), h, F.lit(".com:80/path/"), i, F.lit("/")),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://Example"), h, F.lit(".com/path/"), i,
+                F.lit("?id="), i, F.lit("&utm_medium=z"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://m.example"), h, F.lit(".org/index.html?utm_s=1"))
+        )
+    )
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically synthesized messy
+    URLs (case/default-port/www/utm/fragment/trailing-slash variants
+    keyed by doc_id, built identically in both engines) — pure
+    regexp codegen, zero shuffles."""
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    url = _url_messy()
+    canon = web.canonicalize_url(url)
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        canon.alias("canon_url"),
+        web.registered_domain(web.url_host(canon)).alias("domain"),
+    )
 
 
 def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,6 +667,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "seq_pack": _q_seq_pack,
         "token_quantiles": _q_token_quantiles,
+        "event_sessions": _q_event_sessions,
+        "url_canonicalize": _q_url_canonicalize,
     }
 
 
@@ -1255,5 +1319,70 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WHERE _cum >= CAST(ceil(p * _n / 100.0) AS BIGINT)
             GROUP BY 1, 2
+        """,
+        "event_sessions": r"""
+            WITH s AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NOT NULL
+                           AND epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                          THEN 1 ELSE 0 END AS b
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s2 AS (
+              SELECT user_id, ts,
+                     CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS session_idx
+              FROM s
+            )
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                   MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+            FROM s2 GROUP BY user_id, session_idx
+        """,
+        "url_canonicalize": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/Path/'
+                              || doc_id || '?utm_source=feed&ref=' || doc_id || '&utm_campaign=x#sec'
+                  WHEN 1 THEN 'http://example' || (doc_id % 7) || '.com:80/path/' || doc_id || '/'
+                  WHEN 2 THEN 'https://Example' || (doc_id % 7) || '.com/path/' || doc_id
+                              || '?id=' || doc_id || '&utm_medium=z'
+                  ELSE 'http://m.example' || (doc_id % 7) || '.org/index.html?utm_s=1'
+                END AS url
+              FROM documents
+            ), c1 AS (
+              SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS u FROM raw
+            ), c2 AS (
+              SELECT *,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport0,
+                regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS rest
+              FROM c1
+            ), c3 AS (
+              SELECT *,
+                CASE WHEN scheme = 'http' THEN regexp_replace(hostport0, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(hostport0, ':443$', '')
+                     ELSE hostport0 END AS hostport
+              FROM c2
+            ), c4 AS (
+              SELECT *,
+                regexp_replace(hostport, '^www\.', '') AS host,
+                regexp_extract(rest, '^([^?]*)', 1) AS path0,
+                regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS query0
+              FROM c3
+            ), c5 AS (
+              SELECT *,
+                regexp_replace(regexp_replace(query0, '(^|&)utm_[^&]*', '', 'g'), '^&', '') AS query,
+                CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '(.)/$', '\1') END AS path
+              FROM c4
+            )
+            SELECT doc_id, url,
+                   scheme || '://' || host || path
+                     || CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canon_url,
+                   regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+            FROM c5
         """,
     }

@@ -1,0 +1,87 @@
+"""Event-stream operators over the (event_id, ts, user_id, ...) shape.
+
+The reference's domain is schedule data, but the same engine ingests
+the crawl-side event exhaust (fetch logs, page interactions) that a
+web-scale KG-construction pipeline tracks alongside the corpus; gap
+sessionization is the canonical such query.
+
+Scale posture: ONE shuffle on the user key.  The boundary-flag window,
+the running-sum window, and the per-session aggregation all require
+clustering by ``user_col`` (the aggregation keys are a superset), so
+Catalyst reuses the single exchange for all three — asserted in
+tests/test_kg.py's plan check.  Sessions are user-local, so skew is
+bounded by the hottest single user; a hostile bot user concentrates
+its rows on one task, which is inherent to gap semantics (a session
+cannot be split across tasks) — cap bot users upstream if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize", "session_stats"]
+
+
+def _micros(c):
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign a per-user session index to every event: a new session
+    starts when the gap since the previous event exceeds
+    ``gap_seconds``.  Ties in ``ts`` break on ``id_col`` so the lag
+    order (and therefore the session boundaries) is deterministic.
+
+    Adds ``session_idx`` (0-based per user).  Pure window algebra —
+    no UDFs, whole-stage codegen throughout.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_ts = F.lag(ts_col).over(w)
+    # exact microsecond arithmetic — second-floor differences would
+    # misclassify gaps within 1 s of the threshold.  unix_micros needs
+    # TIMESTAMP_LTZ; parquet event times are NTZ, and with the session
+    # tz pinned UTC the cast is the identity instant mapping.
+    boundary = (
+        prev_ts.isNotNull()
+        & (
+            _micros(F.col(ts_col)) - _micros(prev_ts)
+            > F.lit(int(gap_seconds) * 1_000_000).cast("bigint")
+        )
+    ).cast("bigint")
+    return events.withColumn(
+        "session_idx",
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-session rollup: event count, start/end, duration seconds,
+    and (optionally) a value sum.  Shares the sessionize exchange —
+    the groupBy keys (user, session_idx) are clustered by the window's
+    user partitioning, so no second shuffle."""
+    s = sessionize(events, user_col, ts_col, id_col, gap_seconds)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.max(_micros(F.col(ts_col))) - F.min(_micros(F.col(ts_col)))
+        ).alias("duration_us"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    return s.groupBy(user_col, "session_idx").agg(*aggs)

@@ -1,0 +1,129 @@
+"""Event sessionization (datapipe/events.py) and URL canonicalization
+(datapipe/web.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gtfs2lc_spark.datapipe import events as dp_events
+from gtfs2lc_spark.datapipe import web
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime.fromisoformat(t), u, v) for i, t, u, v in rows],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, value double",
+    )
+
+
+def test_sessionize_gap_boundary_is_exclusive(spark):
+    """Gap == threshold stays in-session; threshold + 1 us splits."""
+    base = "2026-01-01T00:00:00"
+    rows = [
+        (1, base, 1, 0.0),
+        (2, "2026-01-01T00:30:00", 1, 0.0),          # exactly 1800 s
+        (3, "2026-01-01T01:00:00.000001", 1, 0.0),   # 1800 s + 1 us
+    ]
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in dp_events.sessionize(_ev(spark, rows), gap_seconds=1800).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1}
+
+
+def test_sessionize_is_per_user(spark):
+    rows = [
+        (1, "2026-01-01T00:00:00", 1, 0.0),
+        (2, "2026-01-01T09:00:00", 1, 0.0),
+        (3, "2026-01-01T00:00:00", 2, 0.0),
+    ]
+    got = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in dp_events.sessionize(_ev(spark, rows), gap_seconds=3600).collect()
+    }
+    assert got == {(1, 1): 0, (1, 2): 1, (2, 3): 0}
+
+
+def test_session_stats_rollup_and_value_sum(spark):
+    rows = [
+        (1, "2026-01-01T00:00:00", 1, 1.5),
+        (2, "2026-01-01T00:10:00", 1, 2.5),
+        (3, "2026-01-01T05:00:00", 1, 4.0),
+    ]
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in dp_events.session_stats(
+            _ev(spark, rows), gap_seconds=3600, value_col="value"
+        ).collect()
+    }
+    s0 = out[(1, 0)]
+    assert s0["n_events"] == 2
+    assert s0["duration_us"] == 600 * 1_000_000
+    assert s0["total_value"] == 4.0
+    assert out[(1, 1)]["n_events"] == 1
+    assert out[(1, 1)]["duration_us"] == 0
+
+
+def test_session_stats_single_exchange(spark):
+    """Both windows and the (user, session) rollup must share ONE
+    user-keyed shuffle."""
+    df = _ev(spark, [(1, "2026-01-01T00:00:00", 1, 0.0)])
+    plan = (
+        dp_events.session_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def _canon(spark, url: str) -> str:
+    return (
+        spark.range(1)
+        .select(web.canonicalize_url(F.lit(url)).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+def test_canonicalize_url_cases(spark):
+    cases = {
+        # case + default port + www + utm + fragment
+        "HTTPS://WWW.Example.COM:443/Path/1?utm_source=a&ref=2&utm_campaign=b#frag":
+            "https://example.com/Path/1?ref=2",
+        # trailing slash + http default port
+        "http://example.com:80/path/3/": "http://example.com/path/3",
+        # bare authority -> root path
+        "https://Example.com": "https://example.com/",
+        # root slash kept
+        "http://example.com/": "http://example.com/",
+        # non-default port kept; non-utm params kept in order
+        "http://example.com:8080/a?x=1&y=2": "http://example.com:8080/a?x=1&y=2",
+        # all params are tracking -> no '?'
+        "http://example.com/a?utm_s=1": "http://example.com/a",
+    }
+    for raw, want in cases.items():
+        assert _canon(spark, raw) == want, raw
+
+
+def test_registered_domain(spark):
+    got = (
+        spark.createDataFrame(
+            [("a.b.example.com",), ("example.org",), ("localhost",)], "h string"
+        )
+        .select(web.registered_domain(F.col("h")).alias("d"))
+        .collect()
+    )
+    assert [r["d"] for r in got] == ["example.com", "example.org", ""]
+
+
+def test_url_ops_zero_shuffle(spark):
+    """Canonicalization is a pure mapper — no Exchange anywhere."""
+    df = spark.range(10).select(
+        web.canonicalize_url(
+            F.concat(F.lit("http://example.com/p/"), F.col("id"))
+        ).alias("c")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
