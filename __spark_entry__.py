@@ -133,6 +133,25 @@ def _q_kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.predicate_stats(tr.select("subj", "pred", "obj"))
 
 
+def _q_kg_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance: delta between the base triple
+    snapshot and a deterministically perturbed successor (headsigns
+    dropped, one ex:verified triple added per connection)."""
+    base = sinks.connections_to_triples(_fixture_connections(spark)).select(
+        "subj", "pred", "obj"
+    )
+    gt = "http://vocab.gtfs.org/terms#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    new = base.where(F.col("pred") != f"{gt}headsign").unionByName(
+        base.where(F.col("pred") == rdf_type).select(
+            "subj",
+            F.lit("http://example.org/ns#verified").alias("pred"),
+            F.lit("true").alias("obj"),
+        )
+    )
+    return kg.triple_diff(base, new)
+
+
 def _q_kg_earliest_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connection-Scan earliest arrival from STAGECOACH — iterative
     broadcast label correction vs the oracle's recursive-CTE chain
@@ -629,6 +648,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gtfs_triples": _q_gtfs_triples,
         "kg_star_join": _q_kg_star_join,
         "kg_predicate_stats": _q_kg_predicate_stats,
+        "kg_triple_diff": _q_kg_triple_diff,
         "kg_earliest_arrival": _q_kg_earliest_arrival,
         "w1_lag_pairs": _q_w1_lag_pairs,
         "j6_date_explode": _q_j6_date_explode,
@@ -889,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
         "gtfs_triples": oracle.sql_triples(),
         "kg_star_join": oracle.sql_star_join(),
         "kg_predicate_stats": oracle.sql_predicate_stats(),
+        "kg_triple_diff": oracle.sql_triple_diff(),
         "kg_earliest_arrival": oracle.sql_earliest_arrival(
             "STAGECOACH", "2007-01-03 00:00:00"
         ),

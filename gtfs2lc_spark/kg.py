@@ -33,7 +33,30 @@ from pyspark.sql import functions as F
 
 from .materialize import materialize
 
-__all__ = ["star_join", "predicate_stats", "earliest_arrivals"]
+__all__ = ["star_join", "predicate_stats", "earliest_arrivals", "triple_diff"]
+
+
+def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot delta between two triple sets: rows only in ``new``
+    tagged ``added``, rows only in ``old`` tagged ``removed`` — the
+    triple-level counterpart of the connection-level differential
+    history (checkpoint.HistoryStore / reference lib/URIs history
+    semantics): publish the delta, not the world.
+
+    Two anti-joins on the full (subj, pred, obj) key.  Both sides
+    shuffle-partition on the same key, so the joins co-locate; at
+    100 TB this is the standard two-pass set-difference — no
+    broadcast assumption, no skew (the key is the whole row, so
+    duplicates are the only hot keys and triple sets are
+    near-unique)."""
+    key = ["subj", "pred", "obj"]
+    added = new.select(key).join(old.select(key), key, "left_anti").withColumn(
+        "change", F.lit("added")
+    )
+    removed = old.select(key).join(new.select(key), key, "left_anti").withColumn(
+        "change", F.lit("removed")
+    )
+    return added.unionByName(removed)
 
 
 def star_join(triples: DataFrame, predicates: dict[str, str]) -> DataFrame:

@@ -453,3 +453,26 @@ ea_reach(stop, t) AS (
 SELECT stop, {_iso('mt')} AS earliest
 FROM (SELECT stop, MIN(t) AS mt FROM ea_reach GROUP BY stop) m"""
     )
+
+
+def sql_triple_diff() -> str:
+    """Triple-level snapshot delta: new = base minus headsigns plus a
+    synthetic ex:verified triple per connection; diff via NOT EXISTS
+    anti-joins in both directions (duplicate-safe, unlike EXCEPT)."""
+    gt = "http://vocab.gtfs.org/terms#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return f"""
+WITH base AS (SELECT * FROM ({sql_triples()}) q),
+new_t AS (
+  SELECT subj, pred, obj FROM base WHERE pred <> '{gt}headsign'
+  UNION ALL
+  SELECT subj, 'http://example.org/ns#verified' AS pred, 'true' AS obj
+  FROM base WHERE pred = '{rdf_type}'
+)
+SELECT n.subj, n.pred, n.obj, 'added' AS change FROM new_t n
+WHERE NOT EXISTS (SELECT 1 FROM base o
+                  WHERE o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj)
+UNION ALL
+SELECT o.subj, o.pred, o.obj, 'removed' AS change FROM base o
+WHERE NOT EXISTS (SELECT 1 FROM new_t n
+                  WHERE n.subj = o.subj AND n.pred = o.pred AND n.obj = o.obj)"""

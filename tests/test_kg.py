@@ -93,6 +93,21 @@ def test_predicate_stats_counts(triples):
     assert 0 < dep["n_distinct_obj"] < 50
 
 
+def test_triple_diff_semantics(spark):
+    t = lambda rows: spark.createDataFrame(rows, "subj string, pred string, obj string")
+    old = t([("s1", "p", "a"), ("s2", "p", "b")])
+    new = t([("s1", "p", "a"), ("s2", "p", "B"), ("s3", "p", "c")])
+    got = {
+        (r["subj"], r["obj"], r["change"]) for r in kg.triple_diff(old, new).collect()
+    }
+    assert got == {
+        ("s2", "B", "added"),
+        ("s3", "c", "added"),
+        ("s2", "b", "removed"),
+    }
+    assert kg.triple_diff(old, old).count() == 0
+
+
 def _ea_df(spark, rows):
     return spark.createDataFrame(
         [
