@@ -255,6 +255,51 @@ def trip_session_stream(
     )
 
 
+def user_session_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap sessionization — the Structured Streaming twin of
+    datapipe.events.sessionize, using the NATIVE ``session_window``
+    dynamic-gap state operator: a user's session grows while events
+    keep arriving within ``gap``; when the watermark passes the
+    session's close it emits exactly once (append mode).
+
+    Built-in session windows keep the merge logic (overlapping
+    sessions coalescing as late events arrive) in the JVM state store
+    — no Python state path, bounded by the watermark.  The batch
+    operator remains the replay/backfill tool; this is the live view.
+    """
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", "8").parquet(
+        events_dir
+    )
+    return (
+        s.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "session_start",
+            "session_end",
+            "total_value",
+        )
+    )
+
+
 def start_incremental_conversion(
     spark: SparkSession,
     pages_dir: str,

@@ -356,3 +356,51 @@ def test_backfilled_older_crawl_does_not_replace_newer(spark, tmp_path):
         spark, newest, 2, store, f"{tmp}/staging", f"{tmp}/out", salt_n=8
     )
     assert spark.read.text(f"{tmp}/out/batch=*").count() > n0
+
+
+def test_user_session_stream_gap_merge(spark, tmp_path):
+    """Native session_window gap sessionization: events within the gap
+    merge into one session; a later event past the gap opens another;
+    sessions emit (append) only once the watermark passes their close."""
+    import datetime
+
+    tmp = str(tmp_path)
+    events = f"{tmp}/events"
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    ts = datetime.datetime.fromisoformat
+
+    rows = [
+        # user 1: three events 10 min apart -> ONE session 08:00-08:20
+        (1, ts("2026-01-01T08:00:00"), 1, "a", 1.0, ""),
+        (2, ts("2026-01-01T08:10:00"), 1, "a", 2.0, ""),
+        (3, ts("2026-01-01T08:20:00"), 1, "a", 3.0, ""),
+        # user 1: past the 30-min gap -> second session
+        (4, ts("2026-01-01T10:00:00"), 1, "a", 4.0, ""),
+        # user 2: single event
+        (5, ts("2026-01-01T08:05:00"), 2, "a", 5.0, ""),
+        # far-future event: advances the watermark so everything above
+        # is finalized and emitted in append mode
+        (6, ts("2026-01-02T00:00:00"), 3, "a", 0.0, ""),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(events)
+
+    name = "user_sessions_mem"
+    q = (
+        streaming.user_session_stream(spark, events, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt_usess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.session_start.isoformat()): (r.n_events, r.total_value,
+                                                   r.session_end.isoformat())
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got[(1, "2026-01-01T08:00:00")] == (3, 6.0, "2026-01-01T08:20:00")
+    assert got[(1, "2026-01-01T10:00:00")] == (1, 4.0, "2026-01-01T10:00:00")
+    assert got[(2, "2026-01-01T08:05:00")] == (1, 5.0, "2026-01-01T08:05:00")
+    # the watermark-advancing event's own session is NOT final yet
+    assert not any(u == 3 for (u, _s) in got)
