@@ -152,6 +152,67 @@ def _q_kg_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.triple_diff(base, new)
 
 
+def _q_kg_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast entity linking: messy stop mentions (synthesized
+    deterministically from doc_id — exact id / exact name / cased /
+    punctuated / unlinkable variants) resolved against the canonical
+    stop dictionary, two tiers + min-id name canonicalization."""
+    stops = fixtures.entity_dfs(spark)["stops"].select("stop_id", "stop_name")
+    sidx = stops.withColumn(
+        "idx", F.row_number().over(Window.orderBy("stop_id")) - 1
+    )
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    m = d.join(F.broadcast(sidx), d["doc_id"] % 16 == sidx["idx"])
+    raw = (
+        F.when(F.col("doc_id") % 5 == 0, F.col("stop_id"))
+        .when(F.col("doc_id") % 5 == 1, F.col("stop_name"))
+        .when(F.col("doc_id") % 5 == 2, F.upper("stop_name"))
+        .when(F.col("doc_id") % 5 == 3, F.concat("stop_name", F.lit(" !!")))
+        .otherwise(F.concat(F.lit("unknown place "), F.col("doc_id").cast("string")))
+    )
+    mentions = m.select(F.col("doc_id").alias("mention_id"), raw.alias("raw"))
+    return kg.link_entities(mentions, stops).select(
+        "mention_id", "raw", "linked_id", "link_method"
+    )
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic point cloud from customer keys: 300 sites ~2 km
+    apart, members of a site stacked 27.8 m apart along latitude —
+    in-site pair distances straddle the 100 m radius (27.8/55.6/83.4 m
+    in, 111.2 m+ out), cross-site pairs are km apart."""
+    return _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.lit(36.0)
+            + (F.col("c_custkey") % 300) * F.lit(0.02)
+            + F.expr("c_custkey div 300") * F.lit(0.00025)
+        ).alias("lat"),
+        (F.lit(-116.0) + (F.col("c_custkey") % 300) * F.lit(0.03)).alias("lon"),
+    )
+
+
+def _q_geo_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial entity resolution candidates: grid-cell-blocked
+    haversine pairs within 100 m — never all-pairs."""
+    return kg.geo_cluster_pairs(_geo_points(spark, sf_dir), radius_m=100.0)
+
+
+def _q_kg_sameas_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs closure over the spatial-resolution pair set:
+    connected components elect min-id canonical entities; unmatched
+    points stay their own canonical id."""
+    pts = _geo_points(spark, sf_dir)
+    comp = dedup.connected_components(
+        kg.geo_cluster_pairs(pts, radius_m=100.0)
+    )
+    return (
+        pts.select("id")
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("canonical_id"))
+    )
+
+
 def _q_kg_earliest_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connection-Scan earliest arrival from STAGECOACH — iterative
     broadcast label correction vs the oracle's recursive-CTE chain
@@ -650,6 +711,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_stats": _q_kg_predicate_stats,
         "kg_triple_diff": _q_kg_triple_diff,
         "kg_earliest_arrival": _q_kg_earliest_arrival,
+        "kg_entity_link": _q_kg_entity_link,
+        "geo_dedup_pairs": _q_geo_dedup_pairs,
+        "kg_sameas_closure": _q_kg_sameas_closure,
         "w1_lag_pairs": _q_w1_lag_pairs,
         "j6_date_explode": _q_j6_date_explode,
         "broadcast_enrich": _q_broadcast_enrich,
@@ -901,6 +965,66 @@ def _sql_embedding_neardup(
     """
 
 
+_GEO_PAIRS_CTES = """
+pts AS (
+  SELECT c_custkey AS id,
+         36.0 + (c_custkey % 300) * 0.02 + (c_custkey // 300) * 0.00025 AS lat,
+         -116.0 + (c_custkey % 300) * 0.03 AS lon
+  FROM customer
+),
+cells AS (
+  SELECT id, lat, lon,
+         CAST(floor(lat / 0.002) AS BIGINT) AS ci,
+         CAST(floor(lon / 0.002) AS BIGINT) AS cj
+  FROM pts
+),
+ca AS (
+  SELECT id, lat, lon, ci + di.d AS ci, cj + dj.d AS cj
+  FROM cells, (VALUES (-1), (0), (1)) di(d), (VALUES (-1), (0), (1)) dj(d)
+),
+geo_pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM ca a JOIN cells b ON a.ci = b.ci AND a.cj = b.cj AND a.id < b.id
+  WHERE 2 * 6371000 * asin(sqrt(
+          pow(sin(radians(b.lat - a.lat) / 2), 2)
+          + cos(radians(a.lat)) * cos(radians(b.lat))
+            * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 100
+)
+"""
+
+
+def _sql_geo_dedup_pairs() -> str:
+    """Mirror of kg.geo_cluster_pairs over the deterministic customer
+    point cloud: same grid-cell blocking (lossless — one 0.002-deg cell
+    spans more than the 100 m radius at these latitudes), same
+    haversine, same ordered-pair dedup."""
+    return f"WITH {_GEO_PAIRS_CTES} SELECT id_a, id_b FROM geo_pairs"
+
+
+def _sql_kg_sameas_closure() -> str:
+    """owl:sameAs closure: recursive reachability over the spatial
+    pair set; canonical = min id in the component, singletons map to
+    themselves (mirror of connected_components keep-policy)."""
+    return f"""
+WITH RECURSIVE {_GEO_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM geo_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM geo_pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS id, least(src, min(dst)) AS canonical_id
+  FROM reach GROUP BY src
+)
+SELECT p.id, coalesce(c.canonical_id, p.id) AS canonical_id
+FROM pts p LEFT JOIN comp c ON c.id = p.id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "gtfs_service_expansion": oracle.sql_service_expansion(),
@@ -910,6 +1034,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_star_join": oracle.sql_star_join(),
         "kg_predicate_stats": oracle.sql_predicate_stats(),
         "kg_triple_diff": oracle.sql_triple_diff(),
+        "kg_entity_link": oracle.sql_entity_link(),
+        "geo_dedup_pairs": _sql_geo_dedup_pairs(),
+        "kg_sameas_closure": _sql_kg_sameas_closure(),
         "kg_earliest_arrival": oracle.sql_earliest_arrival(
             "STAGECOACH", "2007-01-03 00:00:00"
         ),

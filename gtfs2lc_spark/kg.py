@@ -28,12 +28,20 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .materialize import materialize
 
-__all__ = ["star_join", "predicate_stats", "earliest_arrivals", "triple_diff"]
+__all__ = [
+    "star_join",
+    "predicate_stats",
+    "earliest_arrivals",
+    "triple_diff",
+    "normalize_entity_name",
+    "link_entities",
+    "geo_cluster_pairs",
+]
 
 
 def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
@@ -57,6 +65,154 @@ def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         "change", F.lit("removed")
     )
     return added.unionByName(removed)
+
+
+def normalize_entity_name(col: Column) -> Column:
+    """Canonical form of an entity surface name: lowercase, every
+    non-alphanumeric run collapsed to one space, trimmed.  Pure
+    whole-stage-codegen (the regex is in the Java-regex ∩ RE2 subset,
+    so the DuckDB oracle mirrors it byte-for-byte)."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def link_entities(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    raw_col: str = "raw",
+    id_col: str = "stop_id",
+    name_col: str = "stop_name",
+) -> DataFrame:
+    """Broadcast-join entity linking of free-text mentions against a
+    canonical entity dictionary — the resolution step between "a page
+    said 'Nye County Airport'" and the stop URI the graph uses (the
+    reference keys stops purely by ``stop_id`` through its LevelDB
+    store, lib/stores/StoreManager.js:9-13, and renders URIs from the
+    resolved entity, lib/URIStrategy.js:52; linking messy mentions TO
+    that id space is the step a web-scale extractor needs in front).
+
+    Two tiers, strongest first, decided per row in one pass:
+
+    1. **id**   — the mention IS a canonical id (exact match).
+    2. **name** — :func:`normalize_entity_name` of the mention equals
+       the normalized canonical name.  Names are not unique (the
+       sample feed has 8 stops sharing one name), so the dictionary
+       side pre-aggregates ``min(id)`` per normalized name — a
+       deterministic canonical representative, which is exactly the
+       keep-policy the dedup clustering uses.
+
+    Unlinked mentions survive with ``link_method = 'none'`` (they are
+    the recall denominator, not discards).
+
+    Scale posture: the dictionary is dimension-sized (every transit
+    stop on earth is ~1e6 rows) — both probes are explicit
+    ``broadcast`` hash joins, the mention fact table never shuffles,
+    and the name normalization is codegen'd into the same stage.
+    Output adds ``linked_id`` / ``link_method`` to the mention rows.
+    """
+    ids = F.broadcast(dictionary.select(F.col(id_col).alias("_eid")).distinct())
+    name_idx = F.broadcast(
+        dictionary.select(
+            normalize_entity_name(F.col(name_col)).alias("_nname"),
+            F.col(id_col).alias("_nid"),
+        )
+        .groupBy("_nname")
+        .agg(F.min("_nid").alias("_nid"))
+    )
+    out = (
+        mentions.join(ids, F.col(raw_col) == F.col("_eid"), "left")
+        .join(
+            name_idx,
+            normalize_entity_name(F.col(raw_col)) == F.col("_nname"),
+            "left",
+        )
+        .withColumn("linked_id", F.coalesce("_eid", "_nid"))
+        .withColumn(
+            "link_method",
+            F.when(F.col("_eid").isNotNull(), F.lit("id"))
+            .when(F.col("_nid").isNotNull(), F.lit("name"))
+            .otherwise(F.lit("none")),
+        )
+    )
+    return out.drop("_eid", "_nid", "_nname")
+
+
+def geo_cluster_pairs(
+    points: DataFrame,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    radius_m: float = 100.0,
+    cell_deg: float = 0.002,
+) -> DataFrame:
+    """Spatial entity resolution: all point pairs within ``radius_m``
+    metres (haversine), found by grid-cell blocking — NEVER all-pairs.
+    This is the cross-feed stop-dedup step (two agencies publishing
+    the same physical platform under different ids; the reference
+    carries ``stop_lat``/``stop_lon`` through its stops store,
+    lib/stores/StoreManager.js:11, but leaves cross-feed identity to
+    the consumer).
+
+    Blocking: each point lands in a ``cell_deg``-degree grid cell; the
+    left side fans out to its 3x3 cell neighborhood (two unpivoted
+    literal arrays — 9x the dimension-ish left side, no skew) and
+    equi-joins the right side's single home cell, so each unordered
+    pair is produced exactly once (the one offset that maps a's cell
+    onto b's; ``id_a < id_b`` kills the mirror).  Blocking is lossless
+    while one cell spans >= ``radius_m`` in both axes at the working
+    latitudes — with the defaults, 0.002 deg is ~222 m of latitude and
+    ~165 m of longitude at 42 deg N.
+
+    The exact haversine runs only on co-cell candidates, entirely in
+    codegen (no UDF).  At 100 TB the equi-join shuffles on the cell
+    key; hot cells (city centers) are bounded by physical stop density
+    per ~200 m square, so the key distribution is capped by geography
+    rather than data size.
+
+    Output: ``(id_a, id_b)`` — feed into
+    :func:`gtfs2lc_spark.datapipe.dedup.connected_components` for the
+    owl:sameAs closure and canonical-id election.
+    """
+    base = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lon_col).cast("double").alias("_lon"),
+    )
+
+    def cell(c: Column) -> Column:
+        return F.floor(c / F.lit(float(cell_deg))).cast("long")
+
+    offsets = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    a = (
+        base.select("*", F.explode(offsets).alias("_di"))
+        .select("*", F.explode(offsets).alias("_dj"))
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_lat").alias("_lat_a"),
+            F.col("_lon").alias("_lon_a"),
+            (cell(F.col("_lat")) + F.col("_di")).alias("_ci"),
+            (cell(F.col("_lon")) + F.col("_dj")).alias("_cj"),
+        )
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_lat").alias("_lat_b"),
+        F.col("_lon").alias("_lon_b"),
+        cell(F.col("_lat")).alias("_ci"),
+        cell(F.col("_lon")).alias("_cj"),
+    )
+    dlat = F.radians(F.col("_lat_b") - F.col("_lat_a")) / 2
+    dlon = F.radians(F.col("_lon_b") - F.col("_lon_a")) / 2
+    hav = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians("_lat_a")) * F.cos(F.radians("_lat_b")) * F.pow(F.sin(dlon), 2)
+    )
+    dist_m = F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(hav))
+    return (
+        a.join(b, ["_ci", "_cj"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(dist_m <= F.lit(float(radius_m)))
+        .select("id_a", "id_b")
+    )
 
 
 def star_join(triples: DataFrame, predicates: dict[str, str]) -> DataFrame:

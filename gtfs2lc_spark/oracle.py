@@ -476,3 +476,44 @@ UNION ALL
 SELECT o.subj, o.pred, o.obj, 'removed' AS change FROM base o
 WHERE NOT EXISTS (SELECT 1 FROM new_t n
                   WHERE n.subj = o.subj AND n.pred = o.pred AND n.obj = o.obj)"""
+
+
+def sql_entity_link() -> str:
+    """Broadcast entity linking vs the canonical stop dictionary:
+    mentions synthesized from doc_id (id / name / cased / punctuated /
+    unlinkable variants over the 16 fixture stops), tier-1 exact-id
+    probe, tier-2 normalized-name probe with min-id canonicalization —
+    mirrors kg.link_entities / kg.normalize_entity_name exactly."""
+    stops_cte = _values_cte("g_stops", "stops.txt")
+    norm = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+    return f"""
+WITH {stops_cte},
+sidx AS (
+  SELECT stop_id, stop_name,
+         row_number() OVER (ORDER BY stop_id) - 1 AS idx
+  FROM g_stops
+),
+m AS (
+  SELECT d.doc_id AS mention_id,
+         CASE CAST(d.doc_id % 5 AS INT)
+           WHEN 0 THEN s.stop_id
+           WHEN 1 THEN s.stop_name
+           WHEN 2 THEN upper(s.stop_name)
+           WHEN 3 THEN s.stop_name || ' !!'
+           ELSE 'unknown place ' || CAST(d.doc_id AS VARCHAR)
+         END AS raw
+  FROM documents d JOIN sidx s ON d.doc_id % 16 = s.idx
+),
+nidx AS (
+  SELECT {norm.format(c='stop_name')} AS nname, min(stop_id) AS nid
+  FROM g_stops GROUP BY 1
+),
+ids AS (SELECT DISTINCT stop_id FROM g_stops)
+SELECT m.mention_id, m.raw,
+       coalesce(i.stop_id, n.nid) AS linked_id,
+       CASE WHEN i.stop_id IS NOT NULL THEN 'id'
+            WHEN n.nid IS NOT NULL THEN 'name'
+            ELSE 'none' END AS link_method
+FROM m
+LEFT JOIN ids i ON m.raw = i.stop_id
+LEFT JOIN nidx n ON {norm.format(c='m.raw')} = n.nname"""

@@ -199,3 +199,84 @@ def test_earliest_arrival_broadcasts_frontier(spark):
     plan = relax._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_link_entities_tiers_and_canonicalization(spark):
+    """Tier precedence (id beats name), normalization (case/punct),
+    min-id canonical pick for ambiguous names, and 'none' survival."""
+    dictionary = spark.createDataFrame(
+        [("S1", "Alpha Station"), ("S2", "Beta Halt"), ("S0", "Alpha Station")],
+        "stop_id string, stop_name string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            (1, "S2"),
+            (2, "ALPHA   station!!"),
+            (3, "beta halt"),
+            (4, "Gamma Stop"),
+        ],
+        "mention_id int, raw string",
+    )
+    got = {
+        r.mention_id: (r.linked_id, r.link_method)
+        for r in kg.link_entities(mentions, dictionary).collect()
+    }
+    assert got[1] == ("S2", "id")
+    assert got[2] == ("S0", "name")  # min stop_id wins the ambiguous name
+    assert got[3] == ("S2", "name")
+    assert got[4] == (None, "none")
+
+
+def test_link_entities_plan_is_broadcast_only(spark):
+    """Both dictionary probes must be broadcast hash joins — the
+    mention fact table never shuffles for linking."""
+    dictionary = spark.createDataFrame(
+        [("S1", "Alpha Station")], "stop_id string, stop_name string"
+    )
+    mentions = spark.range(100).select(
+        F.col("id").alias("mention_id"),
+        F.concat(F.lit("m"), F.col("id")).alias("raw"),
+    )
+    plan = (
+        kg.link_entities(mentions, dictionary)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geo_cluster_pairs_radius_and_cell_boundary(spark):
+    """Exact haversine radius (44 m in, 122/167 m out) and lossless
+    blocking across a grid-cell boundary (0.2 m apart, cells differ)."""
+    pts = spark.createDataFrame(
+        [
+            (1, 36.0000, 0.0),
+            (2, 36.0004, 0.0),   # ~44.5 m from 1 -> pair
+            (3, 36.0015, 0.0),   # ~167 m from 1, ~122 m from 2 -> alone
+            (4, 36.001999, 0.5),  # straddles the 36.002 cell edge with 5
+            (5, 36.002001, 0.5),
+        ],
+        "id int, lat double, lon double",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in kg.geo_cluster_pairs(pts, radius_m=100.0).collect()
+    }
+    assert pairs == {(1, 2), (4, 5)}
+
+
+def test_geo_cluster_pairs_plan_is_equijoin(spark):
+    """Blocking must compile to an equi-join on the cell key — never a
+    cartesian / nested-loop all-pairs plan."""
+    pts = spark.range(1000).select(
+        F.col("id"),
+        (F.lit(36.0) + (F.col("id") % 100) * F.lit(0.01)).alias("lat"),
+        (F.lit(-116.0) + (F.col("id") % 100) * F.lit(0.01)).alias("lon"),
+    )
+    plan = (
+        kg.geo_cluster_pairs(pts)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
