@@ -351,6 +351,12 @@ def _q_corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_token_histogram(d)
 
 
+def _q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering: per-doc mean NLL under the corpus's own
+    add-one-smoothed unigram LM."""
+    return text.unigram_nll(_load(spark, sf_dir, "documents"))
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by smoothed tf-idf — distributed
     keyword extraction (tokenize/explode + two map-side-combinable
@@ -742,6 +748,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "repetition_filter": _q_repetition_filter,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "unigram_nll": _q_unigram_nll,
         "pii_scrub": _q_pii_scrub,
         "ngram_contamination": _q_ngram_contamination,
         "source_mix": _q_source_mix,
@@ -1347,6 +1354,27 @@ def oracle_sql() -> dict[str, str]:
             FROM g d JOIN b ON d.gram = b.gram
             WHERE d.doc_id <> b.bench_id
             GROUP BY 1, 2
+        """,
+        "unigram_nll": """
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM documents,
+                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+              WHERE length(t) >= 1
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+            ), ct AS (
+              SELECT term, CAST(SUM(tf) AS BIGINT) AS _ct FROM tf GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(_ct) AS BIGINT) AS _n,
+                     CAST(COUNT(*) AS BIGINT) AS _v FROM ct
+            )
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                   round(-SUM(tf.tf * (ln(ct._ct + 1.0) - ln(tot._n + tot._v)))
+                         / SUM(tf.tf), 6) AS nll
+            FROM tf JOIN ct USING (term) CROSS JOIN tot
+            GROUP BY tf.doc_id
         """,
         "tfidf_top_terms": """
             WITH toks AS (

@@ -557,3 +557,57 @@ def token_quantiles(
             F.max("_n").alias("n_docs"),
         )
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-one-
+    smoothed unigram language model trained on the corpus itself —
+    the distributed form of perplexity filtering (CCNet / Gopher
+    style: docs whose token distribution diverges from the corpus
+    score high and get cut).  perplexity = exp(nll).
+
+    Model: p(t) = (c_t + 1) / (N + V) with c_t the corpus count of
+    token t, N total tokens, V vocabulary size; tokens are lowercased
+    alpha runs.  nll(d) = -sum_t tf_{d,t} * ln p(t) / n_d.  Documents
+    with zero tokens produce no row (no distribution to score).
+
+    Scale shape: one tokenize + explode, a (doc, term) tf aggregation
+    and a (term) corpus-count aggregation — both map-side combinable,
+    so zipfian-hot terms collapse in the partial agg — a (term)-keyed
+    equi-join carrying at most one row per (doc, distinct term), a
+    single-row broadcast of (N, V), and a final (doc) rollup.  No UDF,
+    no pass wider than one row per (doc, distinct term).
+    """
+    terms = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: F.length(t) >= 1,
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(terms).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ct = tf.groupBy("term").agg(F.sum("tf").alias("_ct"))
+    totals = F.broadcast(
+        ct.agg(F.sum("_ct").alias("_n"), F.count(F.lit(1)).alias("_v"))
+    )
+    return (
+        tf.join(ct, "term")
+        .crossJoin(totals)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    F.col("tf")
+                    * (F.log(F.col("_ct") + F.lit(1.0)) - F.log(F.col("_n") + F.col("_v")))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("nll"),
+        )
+    )

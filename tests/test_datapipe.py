@@ -485,3 +485,28 @@ def test_token_quantiles_exact(spark):
 
     with pytest.raises(ValueError, match="ps must"):
         text.token_quantiles(df, ps=(0, 50))
+
+
+def test_unigram_nll_hand_computed(spark):
+    """Add-one unigram LM on a 2-doc corpus: counts a=3 b=1 c=1, N=5,
+    V=3 -> p(a)=4/8, p(b)=p(c)=2/8; per-doc mean NLL matches the
+    closed form, and the rarer-token doc scores strictly higher."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id int, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.nll) for r in text.unigram_nll(docs).collect()}
+    nll1 = -(2 * math.log(0.5) + math.log(0.25)) / 3
+    nll2 = -(math.log(0.5) + math.log(0.25)) / 2
+    assert got[1] == (3, round(nll1, 6))
+    assert got[2] == (2, round(nll2, 6))
+    assert got[2][1] > got[1][1]
+
+
+def test_unigram_nll_empty_doc_produces_no_row(spark):
+    """A doc with no alpha tokens has no distribution to score."""
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "123 !!!")], "doc_id int, text string"
+    )
+    assert [r.doc_id for r in text.unigram_nll(docs).collect()] == [1]
