@@ -213,6 +213,29 @@ def _q_kg_sameas_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host-link graph from doc ids: 97 hosts, two
+    directed edges per document (multi-edges kept — they weight the
+    recurrence identically in both engines)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+    e2 = d.select(
+        ((F.col("doc_id") * 13 + 5) % 97).alias("src"),
+        (F.col("doc_id") % 97).alias("dst"),
+    )
+    return e1.unionByName(e2)
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration PageRank over the synthesized host graph —
+    source-authority weighting for corpus balancing."""
+    pr = kg.pagerank(_host_edges(spark, sf_dir), iterations=3, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _q_kg_earliest_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connection-Scan earliest arrival from STAGECOACH — iterative
     broadcast label correction vs the oracle's recursive-CTE chain
@@ -720,6 +743,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_link": _q_kg_entity_link,
         "geo_dedup_pairs": _q_geo_dedup_pairs,
         "kg_sameas_closure": _q_kg_sameas_closure,
+        "host_pagerank": _q_host_pagerank,
         "w1_lag_pairs": _q_w1_lag_pairs,
         "j6_date_explode": _q_j6_date_explode,
         "broadcast_enrich": _q_broadcast_enrich,
@@ -1000,6 +1024,43 @@ geo_pairs AS (
 """
 
 
+def _sql_host_pagerank(iterations: int = 3, damping: float = 0.85) -> str:
+    """Mirror of kg.pagerank over the synthesized host graph: the
+    fixed-iteration recurrence unrolled as one CTE per round, same
+    FP-operation order as the Spark side ((1.0 - d)/N teleport)."""
+    teleport = f"(1.0 - {damping}) / n._n"
+    parts = [
+        """e AS (
+  SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+  UNION ALL
+  SELECT (doc_id * 13 + 5) % 97 AS src, doc_id % 97 AS dst FROM documents
+)""",
+        """nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+)""",
+        "n AS (SELECT COUNT(*) AS _n FROM nodes)",
+        "od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1)",
+        "r0 AS (SELECT node, 1.0 / n._n AS rank FROM nodes CROSS JOIN n)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.dst AS node, SUM(r.rank / od.outdeg) AS contrib
+  FROM e JOIN od USING (src) JOIN r{k - 1} r ON r.node = e.src
+  GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""r{k} AS (
+  SELECT nodes.node, {teleport} + {damping} * coalesce(c{k}.contrib, 0.0) AS rank
+  FROM nodes CROSS JOIN n LEFT JOIN c{k} ON c{k}.node = nodes.node
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+
+
 def _sql_geo_dedup_pairs() -> str:
     """Mirror of kg.geo_cluster_pairs over the deterministic customer
     point cloud: same grid-cell blocking (lossless — one 0.002-deg cell
@@ -1044,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_link": oracle.sql_entity_link(),
         "geo_dedup_pairs": _sql_geo_dedup_pairs(),
         "kg_sameas_closure": _sql_kg_sameas_closure(),
+        "host_pagerank": _sql_host_pagerank(),
         "kg_earliest_arrival": oracle.sql_earliest_arrival(
             "STAGECOACH", "2007-01-03 00:00:00"
         ),

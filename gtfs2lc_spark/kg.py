@@ -41,6 +41,7 @@ __all__ = [
     "normalize_entity_name",
     "link_entities",
     "geo_cluster_pairs",
+    "pagerank",
 ]
 
 
@@ -213,6 +214,67 @@ def geo_cluster_pairs(
         .where(dist_m <= F.lit(float(radius_m)))
         .select("id_a", "id_b")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    web/host authority signal a Common-Crawl-scale corpus pipeline
+    uses for source weighting (and the canonical "iterative algorithm
+    on Spark" shape).
+
+    r_0 = 1/N; r_{k+1}(v) = (1-d)/N + d * sum over in-edges (u,v) of
+    r_k(u)/outdeg(u).  Nodes with no in-edges get the teleport term;
+    dangling nodes (no out-edges) simply contribute nothing — the
+    fixed-iteration map is deterministic either way, and the DuckDB
+    oracle unrolls the identical recurrence.
+
+    Scale posture: ranks are FACT-sized at web scale (1e9+ hosts), so
+    nothing is broadcast — each iteration is one equi-join of ranks
+    with the out-degree-annotated edge list on ``src`` (both sides
+    hash-partition on the key; a rank row is one narrow pair) and one
+    map-side-combinable groupBy on ``dst``.  Hot dst keys (everyone
+    links to the big hosts) collapse in the partial aggregation.  Each
+    round's result cuts lineage through :func:`materialize`; the edge
+    list with out-degrees is materialized once and reused.
+    """
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    nodes = materialize(
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct(),
+        label="pr_nodes",
+    )
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_outdeg"))
+    ann = materialize(e.join(outdeg, "_src"), label="pr_edges")
+    n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+    ranks = nodes.crossJoin(n_nodes).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(int(iterations)):
+        contrib = (
+            ann.join(ranks.withColumnRenamed("node", "_src"), "_src")
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("_outdeg")).alias("_contrib"))
+        )
+        ranks = materialize(
+            nodes.join(contrib, "node", "left")
+            .crossJoin(n_nodes)
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(float(damping))) / F.col("_n")
+                    + F.lit(float(damping)) * F.coalesce("_contrib", F.lit(0.0))
+                ).alias("rank"),
+            ),
+            label="pr_ranks",
+        )
+    return ranks
 
 
 def star_join(triples: DataFrame, predicates: dict[str, str]) -> DataFrame:

@@ -280,3 +280,32 @@ def test_geo_cluster_pairs_plan_is_equijoin(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_one_iteration_closed_form(spark):
+    """A->B, B->A, C->A (all outdeg 1): after one iteration
+    r(A) = t + d*(r0(B) + r0(C)), r(B) = t + d*r0(A), r(C) = t,
+    with t = (1-d)/3 and r0 = 1/3; mass is conserved (no dangling)."""
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("C", "A")], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in kg.pagerank(edges, iterations=1).collect()}
+    t, d, r0 = (1.0 - 0.85) / 3, 0.85, 1.0 / 3
+    assert got["A"] == pytest.approx(t + d * (r0 + r0), rel=1e-12)
+    assert got["B"] == pytest.approx(t + d * r0, rel=1e-12)
+    assert got["C"] == pytest.approx(t, rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_sink_and_multi_edge(spark):
+    """Dangling node leaks its mass (no out-edges contribute);
+    duplicate edges weight contributions proportionally."""
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "B"), ("A", "C")], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in kg.pagerank(edges, iterations=1).collect()}
+    t, d, r0 = (1.0 - 0.85) / 3, 0.85, 1.0 / 3
+    # A's outdeg is 3 (multi-edge counted); B gets 2/3 of A's rank
+    assert got["B"] == pytest.approx(t + d * (2 * r0 / 3), rel=1e-12)
+    assert got["C"] == pytest.approx(t + d * (r0 / 3), rel=1e-12)
+    assert got["A"] == pytest.approx(t, rel=1e-12)
