@@ -236,6 +236,54 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle enumeration over the host graph —
+    clustering-coefficient primitive, each triangle exactly once.
+    Two extra deterministic edge families densify the pagerank graph
+    so the closure step has real work (53 triangles at sf0.01)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    extra1 = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 5 + 11) % 97).alias("dst"),
+    )
+    extra2 = d.select(
+        ((F.col("doc_id") * 3 + 1) % 97).alias("src"),
+        ((F.col("doc_id") * 17 + 2) % 97).alias("dst"),
+    )
+    edges = _host_edges(spark, sf_dir).unionByName(extra1).unionByName(extra2)
+    return kg.triangles(edges)
+
+
+def _q_kg_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style BGP over the materialized triples: same-trip
+    transfer points (?c departs where ?c2 arrives, shared ?trip) —
+    five patterns, selectivity-ordered left-deep equi-join plan."""
+    tr = sinks.connections_to_triples(_fixture_connections(spark)).select(
+        "subj", "pred", "obj"
+    )
+    lc = "http://semweb.mmlab.be/ns/linkedconnections#"
+    gt = "http://vocab.gtfs.org/terms#"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return kg.bgp_match(
+        tr,
+        [
+            ("?c", rdf, f"{lc}Connection"),
+            ("?c", f"{lc}departureStop", "?stop"),
+            ("?c", f"{gt}trip", "?trip"),
+            ("?c2", f"{lc}arrivalStop", "?stop"),
+            ("?c2", f"{gt}trip", "?trip"),
+        ],
+    )
+
+
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: top-50 adjacent word pairs by PMI
+    (min pair count 5) — phrase-vocabulary signal for tokenizer /
+    topic pipelines."""
+    d = _load(spark, sf_dir, "documents").select("text")
+    return text.pmi_collocations(d, min_count=5, top_k=50)
+
+
 def _q_kg_earliest_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connection-Scan earliest arrival from STAGECOACH — iterative
     broadcast label correction vs the oracle's recursive-CTE chain
@@ -744,6 +792,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_dedup_pairs": _q_geo_dedup_pairs,
         "kg_sameas_closure": _q_kg_sameas_closure,
         "host_pagerank": _q_host_pagerank,
+        "host_triangles": _q_host_triangles,
+        "kg_bgp_match": _q_kg_bgp_match,
+        "pmi_collocations": _q_pmi_collocations,
         "w1_lag_pairs": _q_w1_lag_pairs,
         "j6_date_explode": _q_j6_date_explode,
         "broadcast_enrich": _q_broadcast_enrich,
@@ -1061,6 +1112,53 @@ def _sql_host_pagerank(iterations: int = 3, damping: float = 0.85) -> str:
     return f"WITH {ctes}\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
 
 
+def _sql_host_triangles() -> str:
+    """Mirror of kg.triangles over the synthesized host graph —
+    id-ordered enumeration (equivalent to the Spark side's
+    degree-ordered one: both emit each triangle exactly once as
+    n1 < n2 < n3)."""
+    return """WITH raw AS (
+  SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+  UNION ALL
+  SELECT (doc_id * 13 + 5) % 97 AS src, doc_id % 97 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 97 AS src, (doc_id * 5 + 11) % 97 AS dst FROM documents
+  UNION ALL
+  SELECT (doc_id * 3 + 1) % 97 AS src, (doc_id * 17 + 2) % 97 AS dst FROM documents
+), e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+)
+SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""
+
+
+def _sql_pmi_collocations(min_count: int = 5, top_k: int = 50) -> str:
+    """Mirror of text.pmi_collocations: same tokenization, same
+    ln-operand order (ln c_xy + 2 ln U - ln B - ln c_x - ln c_y),
+    same (pmi desc, w1, w2) total order."""
+    return f"""WITH ws AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '') AS ws
+  FROM documents
+), bc AS (
+  SELECT ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i AS INTEGER) + 1] AS w2,
+         COUNT(*) AS pair_count
+  FROM ws, UNNEST(range(1, greatest(len(ws) - 1, 0) + 1)) AS u(i)
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+), uc AS (
+  SELECT w, COUNT(*) AS cw FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY 1
+), tot AS (
+  SELECT SUM(len(ws)) AS u, SUM(greatest(len(ws) - 1, 0)) AS b FROM ws
+)
+SELECT w1, w2, pair_count,
+       round(ln(pair_count) + 2.0 * ln(tot.u) - ln(tot.b)
+             - ln(c1.cw) - ln(c2.cw), 6) AS pmi
+FROM bc JOIN uc c1 ON c1.w = bc.w1 JOIN uc c2 ON c2.w = bc.w2 CROSS JOIN tot
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {top_k}"""
+
+
 def _sql_geo_dedup_pairs() -> str:
     """Mirror of kg.geo_cluster_pairs over the deterministic customer
     point cloud: same grid-cell blocking (lossless — one 0.002-deg cell
@@ -1106,6 +1204,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_dedup_pairs": _sql_geo_dedup_pairs(),
         "kg_sameas_closure": _sql_kg_sameas_closure(),
         "host_pagerank": _sql_host_pagerank(),
+        "host_triangles": _sql_host_triangles(),
+        "kg_bgp_match": oracle.sql_bgp_match(),
+        "pmi_collocations": _sql_pmi_collocations(),
         "kg_earliest_arrival": oracle.sql_earliest_arrival(
             "STAGECOACH", "2007-01-03 00:00:00"
         ),

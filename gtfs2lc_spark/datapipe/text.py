@@ -611,3 +611,80 @@ def unigram_nll(
             ).alias("nll"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-level collocation mining: the ``top_k`` adjacent word
+    pairs by pointwise mutual information — the phrase-vocabulary /
+    multi-word-expression signal a tokenizer- or topic-pipeline
+    derives from a crawl before training.
+
+    PMI(x, y) = ln( p(x,y) / (p(x) p(y)) ) with p(x,y) = c_xy / B over
+    adjacent-bigram occurrences and p(x) = c_x / U over unigram
+    occurrences (lowercased alpha runs).  Computed as
+    ``ln c_xy + 2 ln U - ln B - ln c_x - ln c_y`` — the exact operand
+    order the DuckDB oracle mirrors — rounded to 6 dp.  Pairs below
+    ``min_count`` occurrences are dropped (rare-pair PMI is noise),
+    and the ranking is total-ordered by (pmi desc, w1, w2).
+
+    Scale shape: one narrow tokenize per document, bigram and unigram
+    explodes feeding two map-side-combinable hash aggregations
+    (zipfian-hot words collapse in the partial agg), two word-keyed
+    equi-joins to annotate the bigram counts with each wing's unigram
+    count (never broadcast — vocabulary is fact-sized at crawl
+    scale), a single-row broadcast of (U, B), and a global
+    ``orderBy().limit()`` that compiles to TakeOrderedAndProject
+    (per-partition top-k heaps, no global sort shuffle).
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda w: w != ""
+    )
+    tokens_df = df.select(words.alias("_ws"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("_ws") - 1),
+        lambda i: F.struct(
+            F.element_at("_ws", i).alias("w1"),
+            F.element_at("_ws", (i + F.lit(1)).cast("int")).alias("w2"),
+        ),
+    )
+    big = (
+        tokens_df.where(F.size("_ws") >= 2)
+        .select(F.explode(bigrams).alias("_bg"))
+        .select("_bg.w1", "_bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    uni = (
+        tokens_df.select(F.explode("_ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_cw"))
+    )
+    totals = F.broadcast(
+        tokens_df.select(
+            F.sum(F.size("_ws")).alias("_u"),
+            F.sum(F.greatest(F.size("_ws") - 1, F.lit(0))).alias("_b"),
+        )
+    )
+    pmi = F.round(
+        F.log("pair_count")
+        + F.lit(2.0) * F.log("_u")
+        - F.log("_b")
+        - F.log("_c1")
+        - F.log("_c2"),
+        6,
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("_cw").alias("_c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("_cw").alias("_c2")), "w2")
+        .crossJoin(totals)
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)

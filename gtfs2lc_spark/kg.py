@@ -42,6 +42,8 @@ __all__ = [
     "link_entities",
     "geo_cluster_pairs",
     "pagerank",
+    "bgp_match",
+    "triangles",
 ]
 
 
@@ -275,6 +277,173 @@ def pagerank(
             label="pr_ranks",
         )
     return ranks
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    allow_product: bool = False,
+) -> DataFrame:
+    """SPARQL-style basic-graph-pattern matching over a (subj, pred,
+    obj) table — the KG *query* counterpart of the graph the pipeline
+    materializes (the reference emits the triples,
+    lib/Connections2Triples.js:31-99, and leaves querying to SPARQL
+    endpoints downstream; this answers those queries Spark-side).
+
+    Each pattern is a ``(s, p, o)`` triple whose elements are either a
+    variable (``"?name"``) or a constant IRI/literal.  The result has
+    one column per distinct variable (first-appearance order), one row
+    per solution mapping — standard BGP join semantics, including
+    repeated variables inside one pattern (matched as an equality
+    filter).
+
+    Join planning is explicit and selectivity-ordered: patterns with
+    more constant positions bind first (a constant subject or object
+    prunes harder than a variable), and the left-deep join chain only
+    ever adds a pattern sharing >= 1 bound variable, so every step is
+    an equi-join on the shared variables.  A disconnected pattern
+    group would force a cartesian product — that is almost always a
+    query bug at 1e12-triple scale, so it raises unless
+    ``allow_product=True`` (mirroring the no-cartesian posture the
+    plan tests lock everywhere else).
+
+    Scale posture: each pattern scan is the triple table with its
+    constants pushed down to the storage filter (pred-constant scans
+    prune to one predicate partition under pred-partitioned layouts);
+    the joins are hash equi-joins on variable columns and AQE is free
+    to broadcast genuinely selective sides at runtime.  Nothing is
+    collected on the driver and no join is quadratic.
+    """
+    if not patterns:
+        raise ValueError("bgp_match needs at least one pattern")
+
+    def is_var(x: str) -> bool:
+        return isinstance(x, str) and x.startswith("?")
+
+    compiled = []  # (n_constants, input_idx, var_set, DataFrame)
+    for idx, (s, p, o) in enumerate(patterns):
+        df = triples.select("subj", "pred", "obj")
+        n_const = 0
+        var_map: dict[str, str] = {}
+        for val, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if is_var(val):
+                v = val[1:]
+                if not v:
+                    raise ValueError(f"empty variable name in pattern {idx}")
+                if v in var_map:  # repeated var within one pattern
+                    df = df.where(F.col(col) == F.col(var_map[v]))
+                else:
+                    var_map[v] = col
+            else:
+                df = df.where(F.col(col) == F.lit(val))
+                n_const += 1
+        if not var_map:
+            raise ValueError(
+                f"pattern {idx} has no variables — an ASK pattern; "
+                "filter the triple table directly instead"
+            )
+        proj = df.select(*[F.col(c).alias(v) for v, c in var_map.items()])
+        compiled.append((n_const, idx, frozenset(var_map), proj))
+
+    remaining = sorted(compiled, key=lambda t: (-t[0], t[1]))
+    n_const, _, bound_f, acc = remaining.pop(0)
+    bound = set(bound_f)
+    while remaining:
+        connected = [t for t in remaining if t[2] & bound]
+        if connected:
+            nxt = min(connected, key=lambda t: (-t[0], t[1]))
+            acc = acc.join(nxt[3], sorted(nxt[2] & bound))
+        else:
+            if not allow_product:
+                raise ValueError(
+                    "basic graph pattern is disconnected — joining the "
+                    "groups is a cartesian product; pass "
+                    "allow_product=True to run it anyway"
+                )
+            nxt = min(remaining, key=lambda t: (-t[0], t[1]))
+            acc = acc.crossJoin(nxt[3])
+        bound |= nxt[2]
+        remaining.remove(nxt)
+
+    out_order: list[str] = []
+    for s, p, o in patterns:
+        for val in (s, p, o):
+            if is_var(val) and val[1:] not in out_order:
+                out_order.append(val[1:])
+    return acc.select(*out_order)
+
+
+def triangles(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Enumerate the triangles of an undirected graph (each exactly
+    once) by degree-ordered wedge join — the clustering-coefficient /
+    community-density primitive over the host-link graph, and the
+    textbook skew-proof graph join on Spark.
+
+    Edges are first symmetrized and deduplicated to unordered pairs.
+    Each edge is then ORIENTED from its lower-(degree, id) endpoint to
+    the higher one, and wedges are built only around the low-degree
+    center: ``(u→v, u→w)`` with ``(v) < (w)`` in the same order,
+    closed by probing the oriented edge set for ``v→w``.  Degree
+    orientation is the load-bearing trick — a celebrity host with 1e7
+    neighbours is never a wedge center unless both wings have even
+    higher degree, so per-key wedge fan-out is bounded by ~sqrt(|E|)
+    instead of max-degree² (the classic Suri/Vassilvitskii bound).
+
+    All three steps are equi-joins / map-side-combinable aggregations;
+    degree annotation joins on the node key (fact-sized at web scale,
+    so nothing is broadcast).  Output: one row per triangle with the
+    three node ids sorted ascending as ``n1 < n2 < n3`` — identical to
+    an id-oriented enumeration, so the oracle can use the simpler
+    id-ordering.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_a").alias("node"))
+        .unionByName(e.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    ann = (
+        e.join(deg.select(F.col("node").alias("_a"), F.col("_deg").alias("_da")), "_a")
+        .join(deg.select(F.col("node").alias("_b"), F.col("_deg").alias("_db")), "_b")
+    )
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    oriented = materialize(
+        ann.select(
+            F.when(lower_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+            F.when(lower_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+            F.when(lower_first, F.col("_da")).otherwise(F.col("_db")).alias("_du"),
+            F.when(lower_first, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+        ),
+        label="tri_oriented",
+    )
+    w1 = oriented.select("_u", F.col("_v").alias("_w1"), F.col("_dv").alias("_dw1"))
+    w2 = oriented.select("_u", F.col("_v").alias("_w2"), F.col("_dv").alias("_dw2"))
+    wedges = w1.join(w2, "_u").where(
+        (F.col("_dw1") < F.col("_dw2"))
+        | ((F.col("_dw1") == F.col("_dw2")) & (F.col("_w1") < F.col("_w2")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("_u").alias("_w1"), F.col("_v").alias("_w2")),
+        ["_w1", "_w2"],
+    )
+    nodes3 = F.array_sort(F.array("_u", "_w1", "_w2"))
+    return closed.select(
+        F.element_at(nodes3, 1).alias("n1"),
+        F.element_at(nodes3, 2).alias("n2"),
+        F.element_at(nodes3, 3).alias("n3"),
+    )
 
 
 def star_join(triples: DataFrame, predicates: dict[str, str]) -> DataFrame:

@@ -414,6 +414,25 @@ def sql_star_join() -> str:
     )
 
 
+def sql_bgp_match() -> str:
+    """Basic-graph-pattern oracle: the same-trip transfer pattern
+    (?c departs at the stop where ?c2 arrives, both on one trip) as
+    naive per-pattern self-joins over the triple table — the shape a
+    SPARQL engine would run, independent of kg.bgp_match's
+    selectivity-ordered planner."""
+    lc = "http://semweb.mmlab.be/ns/linkedconnections#"
+    gt = "http://vocab.gtfs.org/terms#"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return f"""WITH tri AS (SELECT * FROM ({sql_triples()}) x)
+SELECT p0.subj AS c, p1.obj AS stop, p2.obj AS trip, p3.subj AS c2
+FROM tri p0
+JOIN tri p1 ON p1.subj = p0.subj AND p1.pred = '{lc}departureStop'
+JOIN tri p2 ON p2.subj = p0.subj AND p2.pred = '{gt}trip'
+JOIN tri p3 ON p3.obj = p1.obj AND p3.pred = '{lc}arrivalStop'
+JOIN tri p4 ON p4.subj = p3.subj AND p4.pred = '{gt}trip' AND p4.obj = p2.obj
+WHERE p0.pred = '{rdf}' AND p0.obj = '{lc}Connection'"""
+
+
 def sql_predicate_stats() -> str:
     """KG profiling: per-predicate triple / distinct-object counts."""
     return (

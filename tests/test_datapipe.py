@@ -510,3 +510,30 @@ def test_unigram_nll_empty_doc_produces_no_row(spark):
         [(1, "hello world"), (2, "123 !!!")], "doc_id int, text string"
     )
     assert [r.doc_id for r in text.unigram_nll(docs).collect()] == [1]
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """2-doc corpus, closed form: U=6 unigrams, B=4 bigrams;
+    pmi(x,y) = ln(c_xy * U^2 / (B * c_x * c_y))."""
+    df = spark.createDataFrame([("a b a b",), ("c a",)], "text string")
+    got = text.pmi_collocations(df, min_count=1, top_k=10).collect()
+    rows = [(r.w1, r.w2, r.pair_count, r.pmi) for r in got]
+    ln3 = round(math.log(3.0), 6)
+    ln15 = round(math.log(1.5), 6)
+    # ties at pmi=ln(3) break by w1 asc: (a,b) before (c,a)
+    assert rows == [
+        ("a", "b", 2, ln3),
+        ("c", "a", 1, ln3),
+        ("b", "a", 1, ln15),
+    ]
+
+
+def test_pmi_collocations_min_count_and_topk(spark):
+    df = spark.createDataFrame([("a b a b",), ("c a",)], "text string")
+    got = text.pmi_collocations(df, min_count=2, top_k=10).collect()
+    assert [(r.w1, r.w2) for r in got] == [("a", "b")]
+    top1 = text.pmi_collocations(df, min_count=1, top_k=1).collect()
+    assert [(r.w1, r.w2) for r in top1] == [("a", "b")]
+    # single-word and empty docs contribute no bigrams and don't crash
+    lone = spark.createDataFrame([("solo",), ("",)], "text string")
+    assert text.pmi_collocations(lone, min_count=1).count() == 0

@@ -309,3 +309,116 @@ def test_pagerank_sink_and_multi_edge(spark):
     assert got["B"] == pytest.approx(t + d * (2 * r0 / 3), rel=1e-12)
     assert got["C"] == pytest.approx(t + d * (r0 / 3), rel=1e-12)
     assert got["A"] == pytest.approx(t, rel=1e-12)
+
+
+def _bgp_triples(spark):
+    rows = [
+        ("a", "type", "Person"), ("a", "knows", "b"), ("a", "worksAt", "x"),
+        ("b", "type", "Person"), ("b", "knows", "c"), ("b", "worksAt", "x"),
+        ("c", "type", "Person"), ("c", "worksAt", "y"),
+        ("x", "type", "Org"), ("y", "type", "Org"),
+        ("a", "likes", "a"),  # reflexive: for the repeated-var pattern
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_bgp_match_colleague_pattern(spark):
+    """?p and ?q both Persons at the same ?org — classic 4-pattern BGP.
+    Includes the p == q diagonal (BGP semantics keep it)."""
+    t = _bgp_triples(spark)
+    got = kg.bgp_match(
+        t,
+        [
+            ("?p", "type", "Person"),
+            ("?p", "worksAt", "?org"),
+            ("?q", "type", "Person"),
+            ("?q", "worksAt", "?org"),
+        ],
+    )
+    assert got.columns == ["p", "org", "q"]
+    pairs = {(r.p, r.org, r.q) for r in got.collect()}
+    assert pairs == {
+        ("a", "x", "a"), ("a", "x", "b"), ("b", "x", "a"),
+        ("b", "x", "b"), ("c", "y", "c"),
+    }
+
+
+def test_bgp_match_repeated_var_and_constants(spark):
+    t = _bgp_triples(spark)
+    # repeated variable inside one pattern: subj == obj
+    got = kg.bgp_match(t, [("?s", "likes", "?s")]).collect()
+    assert [(r.s,) for r in got] == [("a",)]
+    # all-constant pattern is rejected (ASK, not SELECT)
+    with pytest.raises(ValueError, match="no variables"):
+        kg.bgp_match(t, [("a", "type", "Person")])
+    # disconnected groups raise instead of going cartesian
+    with pytest.raises(ValueError, match="disconnected"):
+        kg.bgp_match(t, [("?p", "type", "Person"), ("?o", "type", "Org")])
+    prod = kg.bgp_match(
+        t,
+        [("?p", "type", "Person"), ("?o", "type", "Org")],
+        allow_product=True,
+    )
+    assert prod.count() == 6  # 3 persons x 2 orgs
+
+
+def test_bgp_match_join_order_invariance(spark):
+    """The selectivity-ordered planner must not change the solution
+    set: every permutation of the pattern list gives the same rows."""
+    import itertools
+
+    t = _bgp_triples(spark)
+    pats = [
+        ("?p", "knows", "?q"),
+        ("?p", "worksAt", "?org"),
+        ("?q", "type", "Person"),
+    ]
+    expect = None
+    for perm in itertools.permutations(pats):
+        rows = {
+            tuple(sorted(r.asDict().items()))
+            for r in kg.bgp_match(t, list(perm)).collect()
+        }
+        if expect is None:
+            expect = rows
+        assert rows == expect
+    assert expect == {
+        (("org", "x"), ("p", "a"), ("q", "b")),
+        (("org", "x"), ("p", "b"), ("q", "c")),
+    }
+
+
+def test_triangles_exact_enumeration(spark):
+    """K4 minus one edge has exactly 2 triangles; extra direction
+    duplicates, self-loops, and multi-edges must not change the set."""
+    edges = [
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 4),  # K4 minus (2,4)
+        (5, 5),  # self-loop ignored
+        (1, 2),  # multi-edge deduped
+        (4, 6),  # dangling edge, no triangle
+    ]
+    got = kg.triangles(
+        spark.createDataFrame(edges, "src int, dst int")
+    ).collect()
+    assert {(r.n1, r.n2, r.n3) for r in got} == {(1, 2, 3), (1, 3, 4)}
+    assert len(got) == 2  # each triangle exactly once
+
+
+def test_triangles_degree_orientation_matches_bruteforce(spark):
+    """Seeded random 20-node graph (30 triangles): degree-ordered
+    enumeration equals the brute-force id-ordered closure computed
+    driver-side."""
+    import random
+
+    rnd = random.Random(42)
+    edges = [(rnd.randrange(20), rnd.randrange(20)) for _ in range(60)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {(r.n1, r.n2, r.n3) for r in kg.triangles(df).collect()}
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    brute = {
+        (a, b, c)
+        for (a, b) in und
+        for c in range(20)
+        if b < c and (b, c) in und and (a, c) in und
+    }
+    assert got == brute and len(brute) > 0

@@ -139,3 +139,42 @@ def test_packing_plan_shapes(spark):
     assert "shard" in pack_plan
     assert "SortMergeJoin" not in pack_plan
     assert "CartesianProduct" not in pack_plan
+
+
+def test_bgp_match_plan_is_equijoin_only(spark):
+    """The BGP planner's left-deep chain must be equi-joins on shared
+    variables — a disconnected-group cartesian can't sneak in, and the
+    constant filters must sit under the joins, not above them."""
+    from gtfs2lc_spark import kg
+
+    t = spark.createDataFrame(
+        [("a", "type", "P"), ("a", "knows", "b"), ("b", "type", "P")],
+        "subj string, pred string, obj string",
+    )
+    q = kg.bgp_match(
+        t,
+        [("?p", "type", "P"), ("?p", "knows", "?q"), ("?q", "type", "P")],
+    )
+    plan = _executed_plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pmi_topk_plan_is_take_ordered(spark):
+    """pmi_collocations' global top-k must compile to
+    TakeOrderedAndProject (per-partition heaps + driver merge), never
+    a full global sort exchange."""
+    from gtfs2lc_spark.datapipe import text
+
+    df = spark.createDataFrame([("a b c a b",)], "text string")
+    plan = _executed_plan(text.pmi_collocations(df, min_count=1, top_k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_triangles_plan_has_no_cartesian(spark):
+    from gtfs2lc_spark import kg
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src int, dst int")
+    plan = _executed_plan(kg.triangles(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
