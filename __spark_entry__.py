@@ -485,6 +485,14 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-h window rollup via the native F.window assigner —
+    the batch twin of the streaming watermark aggregation."""
+    return dp_events.tumbling_stats(
+        _load(spark, sf_dir, "events"), window_seconds=3600
+    )
+
+
 def _url_messy():
     h = (F.col("doc_id") % 7).cast("string")
     i = F.col("doc_id").cast("string")
@@ -834,6 +842,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": _q_seq_pack,
         "token_quantiles": _q_token_quantiles,
         "event_sessions": _q_event_sessions,
+        "event_tumbling": _q_event_tumbling,
         "url_canonicalize": _q_url_canonicalize,
     }
 
@@ -1679,6 +1688,14 @@ def oracle_sql() -> dict[str, str]:
                    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
                    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
             FROM s2 GROUP BY user_id, session_idx
+        """,
+        "event_tumbling": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 6) AS sum_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
         """,
         "url_canonicalize": r"""
             WITH raw AS (

@@ -85,3 +85,50 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("total_value"))
     return s.groupBy(user_col, "session_idx").agg(*aggs)
+
+
+def tumbling_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Fixed tumbling-window rollup via the NATIVE ``F.window``
+    assigner — the batch twin of the streaming watermark aggregation
+    (streaming.py uses the same assigner on the live path, so batch
+    backfill and live dashboards share one windowing semantics).
+
+    Emits one row per (window, event type): event count, value sum
+    (rounded 6 dp) and distinct users.  ``window_start`` is epoch
+    seconds (bigint) — integer bucket arithmetic is engine-portable,
+    no timestamp rendering involved.
+
+    Scale shape: one map-side-combinable hash aggregation keyed on
+    (window, type); the distinct-user count expands on (window, type,
+    user) so hot windows spread across the cluster before the final
+    rollup.  The window assignment itself is pure codegen — tumbling
+    windows assign exactly one bucket per row, no explode.
+    """
+    w = F.window(F.col(ts_col), f"{int(window_seconds)} seconds")
+    return (
+        events.groupBy(w.alias("_w"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.countDistinct(user_col).alias("n_users"),
+        )
+        .select(
+            # parquet event times are NTZ; with the session tz pinned
+            # UTC the LTZ cast is the identity instant mapping (same
+            # contract as sessionize._micros)
+            (_micros(F.col("_w.start")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("window_start"),
+            type_col,
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )

@@ -127,3 +127,34 @@ def test_url_ops_zero_shuffle(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_tumbling_stats_bucket_boundaries(spark):
+    """An event exactly on the hour opens the NEXT bucket (windows are
+    [start, end)); counts, sums, and distinct users are per (window,
+    type)."""
+    rows = [
+        (1, "2024-01-01T00:00:00", 1, 1.5, "view"),
+        (2, "2024-01-01T00:59:59.999999", 2, 2.0, "view"),
+        (3, "2024-01-01T01:00:00", 1, 4.0, "view"),  # next bucket
+        (4, "2024-01-01T00:30:00", 1, 8.0, "click"),
+        (5, "2024-01-01T00:45:00", 1, 16.0, "view"),  # same user as 1
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime.fromisoformat(t), u, v, ty)
+            for i, t, u, v, ty in rows
+        ],
+        "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " value double, event_type string",
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.n_users)
+        for r in dp_events.tumbling_stats(df, window_seconds=3600).collect()
+    }
+    h0 = 1704067200  # 2024-01-01T00:00:00Z
+    assert got == {
+        (h0, "view"): (3, 19.5, 2),
+        (h0, "click"): (1, 8.0, 1),
+        (h0 + 3600, "view"): (1, 4.0, 1),
+    }
