@@ -443,6 +443,15 @@ def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_mix(d, cap_share=0.04)
 
 
+def _q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reweighted corpus materialization: per-source hash
+    downsampling at the source_mix cap rates (4%) — broadcast
+    thresholds, the corpus never shuffles."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    kept = text.balanced_sample(d, cap_share=0.04)
+    return kept.select("doc_id", "source")
+
+
 def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length chunking: fixed 16-token windows per document.
     Zero-shuffle narrow plan (tokenize -> sequence -> explode ->
@@ -835,6 +844,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "ngram_contamination": _q_ngram_contamination,
         "source_mix": _q_source_mix,
+        "balanced_sample": _q_balanced_sample,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
@@ -1506,6 +1516,19 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_docs AS DOUBLE) / _n, 6) AS share,
                    round(least(1.0, (0.04 * _n) / n_docs), 6) AS sampling_rate
             FROM s CROSS JOIN n
+        """,
+        "balanced_sample": f"""
+            WITH s AS (
+              SELECT source, COUNT(*) AS _n FROM documents GROUP BY source
+            ), t AS (SELECT COUNT(*) AS _t FROM documents),
+            thr AS (
+              SELECT source,
+                     CAST(round(least(1.0, (0.04 * _t) / _n) * 10000) AS BIGINT) AS _thr
+              FROM s CROSS JOIN t
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr USING (source)
+            WHERE {_DUCK_H32.format(s="'balance-v1' || '|' || CAST(doc_id AS VARCHAR)")} % 10000 < _thr
         """,
         "ngram_contamination": """
             WITH w AS (

@@ -688,3 +688,53 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top_k)
+
+
+def balanced_sample(
+    df: DataFrame,
+    cap_share: float = 0.10,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "balance-v1",
+) -> DataFrame:
+    """Materialize the balanced corpus that :func:`source_mix`
+    prescribes: every source capped at ``cap_share`` of the corpus by
+    deterministic per-source hash downsampling (the actual
+    domain-reweighting step, not just its rates).
+
+    Per-source keep threshold = round(min(1, cap_share * total / n_src)
+    * 10000); a row survives iff pmod(hash32(seed | id), 10000) falls
+    below its source's threshold — the same engine-portable membership
+    contract as hash_split/hash_sample (re-running, re-reading, or
+    adding documents never flips existing members).
+
+    Scale shape: one map-side-combinable groupBy(source) plus a 1-row
+    total — both dimension-sized — broadcast back onto the fact table,
+    so the corpus itself never shuffles; the filter is pure codegen.
+    """
+    from .dedup import portable_hash32
+
+    per_src = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    totals = df.agg(F.count(F.lit(1)).alias("_t"))
+    thr = F.broadcast(
+        per_src.crossJoin(F.broadcast(totals)).select(
+            source_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(cap_share)) * F.col("_t") / F.col("_n"),
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("_thr"),
+        )
+    )
+    bucket = F.pmod(
+        portable_hash32(
+            F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
+        ),
+        F.lit(10000),
+    )
+    return df.join(thr, source_col).where(bucket < F.col("_thr")).select(*df.columns)

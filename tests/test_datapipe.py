@@ -537,3 +537,22 @@ def test_pmi_collocations_min_count_and_topk(spark):
     # single-word and empty docs contribute no bigrams and don't crash
     lone = spark.createDataFrame([("solo",), ("",)], "text string")
     assert text.pmi_collocations(lone, min_count=1).count() == 0
+
+
+def test_balanced_sample_caps_and_determinism(spark):
+    """90/10 two-source corpus with cap_share=0.2: the big source is
+    hash-trimmed toward 20% of the corpus, the small source passes
+    through whole, and membership is stable across calls."""
+    rows = [(i, "t", "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    kept = text.balanced_sample(df, cap_share=0.2)
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in text.balanced_sample(df, cap_share=0.2).collect()}
+    assert a == b  # deterministic membership
+    assert {i for i in a if i >= 90} == set(range(90, 100))  # small intact
+    n_big = len([i for i in a if i < 90])
+    # threshold = round(0.2*100/90 * 10000) = 2222 -> expect ~20 of 90
+    assert 5 <= n_big <= 40
+    assert kept.columns == ["doc_id", "text", "source"]
+    # no cap binding -> identity
+    assert text.balanced_sample(df, cap_share=1.0).count() == 100
