@@ -294,6 +294,164 @@ def _q_kg_earliest_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ea.select("stop", sinks.iso(F.col("earliest")).alias("earliest"))
 
 
+_EX = "http://example.org/ns#"
+_LC = "http://semweb.mmlab.be/ns/linkedconnections#"
+_GT = "http://vocab.gtfs.org/terms#"
+
+# (subj, pred, obj) schema triples for the rdfs_infer gate: a 2-level
+# subClassOf chain over lc:Connection and a subPropertyOf hierarchy over
+# the stop/trip predicates (transitivity exercised on both).
+_ONTOLOGY_ROWS: list[tuple[str, str, str]] = [
+    (f"{_LC}Connection", kg.RDFS_SUBCLASSOF, f"{_EX}Event"),
+    (f"{_EX}Event", kg.RDFS_SUBCLASSOF, f"{_EX}Entity"),
+    (f"{_LC}departureStop", kg.RDFS_SUBPROPERTYOF, f"{_EX}stop"),
+    (f"{_LC}arrivalStop", kg.RDFS_SUBPROPERTYOF, f"{_EX}stop"),
+    (f"{_EX}stop", kg.RDFS_SUBPROPERTYOF, f"{_EX}place"),
+    (f"{_GT}trip", kg.RDFS_SUBPROPERTYOF, f"{_EX}partOf"),
+]
+
+
+def _doc_tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hierarchy from doc ids: every doc_id >= 1 points
+    at parent doc_id div 2 (a binary tree rooted at 0, depth ~log2 N —
+    the shape of a class/org hierarchy)."""
+    return (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") >= 1)
+        .select(F.col("doc_id").alias("src"), F.expr("doc_id div 2").alias("dst"))
+    )
+
+
+def _q_kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the doc-id hierarchy by log-rounds path
+    doubling — every (node, ancestor) pair, vs the oracle's
+    edge-at-a-time recursive CTE."""
+    return kg.transitive_closure(_doc_tree_edges(spark, sf_dir))
+
+
+def _q_kg_rdfs_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS-lite forward chaining over the materialized fixture
+    triples + a literal 6-triple ontology: subClassOf/subPropertyOf
+    closure, superproperty facts, superclass types."""
+    tr = sinks.connections_to_triples(_fixture_connections(spark)).select(
+        "subj", "pred", "obj"
+    )
+    onto = spark.createDataFrame(_ONTOLOGY_ROWS, "subj string, pred string, obj string")
+    return kg.rdfs_infer(tr, onto)
+
+
+def _anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic link graph with anchor text: each document links
+    to host (doc_id*31+7) % 97 with its first two alpha words as the
+    anchor phrase."""
+    d = _load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda w: w != ""
+    )
+    return d.select(
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+        F.array_join(F.slice(words, 1, 2), " ").alias("anchor"),
+    )
+
+
+def _q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 anchor texts per link target by count — the web-graph
+    entity-naming consensus signal."""
+    out = web.anchor_text_topk(_anchor_links(spark, sf_dir), k=3)
+    return out.select(
+        "dst", "anchor", "n_links", F.col("rank").alias("anchor_rank")
+    )
+
+
+def _canon_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic triple set + sameAs canonical map from doc ids:
+    entity E<id> links to E<(id - id%5 + 3) % 500>; ids with id%5 in
+    {1,2} merge into their id - id%5 canonical entity — so the two
+    merged members of each 5-block assert the SAME fact about the same
+    target and must collapse to one triple (500 -> 400 rows at
+    sf0.01)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    ent = F.concat(F.lit("E"), F.col("doc_id"))
+    tr = d.select(
+        ent.alias("subj"),
+        F.lit(f"{_EX}linksTo").alias("pred"),
+        F.concat(
+            F.lit("E"),
+            (F.col("doc_id") - F.col("doc_id") % 5 + 3) % 500,
+        ).alias("obj"),
+    )
+    cmap = d.where((F.col("doc_id") % 5).isin(1, 2)).select(
+        ent.alias("id"),
+        F.concat(
+            F.lit("E"), F.col("doc_id") - F.col("doc_id") % 5
+        ).alias("canonical_id"),
+    )
+    return tr, cmap
+
+
+def _q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs merge: rewrite subj+obj through the canonical map
+    (broadcast, fact side never shuffles) and collapse the duplicate
+    facts the merge creates."""
+    tr, cmap = _canon_inputs(spark, sf_dir)
+    return kg.canonicalize_triples(tr, cmap)
+
+
+def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL hygiene gate over synthesized crawl URLs:
+    registrable-domain blocklist (precedence) + path-pattern block,
+    keep/reject + reason per page."""
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("www.spam.example.com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("ok.example.org"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("good.net"))
+        .otherwise(F.lit("adsite.biz"))
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), host, F.lit("/p/"), F.col("doc_id"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("/casino")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    out = web.url_filter(
+        pages,
+        blocked_domains=["example.com", "adsite.biz"],
+        blocked_path_pattern="casino",
+        keep_signals=True,
+    )
+    return out.select("doc_id", "url_keep", "url_reject_reason")
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join: every non-error event picks up the latest
+    preceding (inclusive) error by the same user — sort-based
+    carry-forward vs DuckDB's native ASOF LEFT JOIN."""
+    ev = _load(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = dp_events.asof_join(left, right, key_col="user_id", ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("last_error_ts"),
+        F.col("value_asof").alias("last_error_value"),
+    )
+
+
+def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/Gopher corpus gate: keep/reject + first-failing-rule
+    reason (lang -> quality -> repetition) in one codegen pass."""
+    d = _load(spark, sf_dir, "documents")
+    return text.corpus_filter(d).select("doc_id", "keep", "reject_reason")
+
+
 # ---------------------------------------------------------------------------
 # Star-schema operator analogs (driver parquet tables)
 # ---------------------------------------------------------------------------
@@ -811,6 +969,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "host_triangles": _q_host_triangles,
         "kg_bgp_match": _q_kg_bgp_match,
+        "kg_closure": _q_kg_closure,
+        "kg_rdfs_infer": _q_kg_rdfs_infer,
+        "anchor_topk": _q_anchor_topk,
+        "corpus_filter": _q_corpus_filter,
+        "asof_join": _q_asof_join,
+        "kg_canonical_triples": _q_kg_canonical_triples,
+        "url_filter": _q_url_filter,
         "pmi_collocations": _q_pmi_collocations,
         "w1_lag_pairs": _q_w1_lag_pairs,
         "j6_date_explode": _q_j6_date_explode,
@@ -1210,6 +1375,142 @@ SELECT p.id, coalesce(c.canonical_id, p.id) AS canonical_id
 FROM pts p LEFT JOIN comp c ON c.id = p.id"""
 
 
+def _sql_kg_closure() -> str:
+    """Mirror of kg.transitive_closure over the doc-id binary tree:
+    edge-at-a-time recursive reachability (the closure is the unique
+    least fixpoint, so the log-rounds doubling on the Spark side must
+    produce the identical pair set)."""
+    return """WITH RECURSIVE e AS (
+  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id >= 1
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+)
+SELECT src, dst FROM reach"""
+
+
+def _sql_kg_rdfs_infer() -> str:
+    """Mirror of kg.rdfs_infer over the fixture triples + the literal
+    ontology: recursive subClassOf/subPropertyOf closures, rdfs7
+    superproperty facts (feeding rdfs9 superclass types), inferred =
+    entailed minus asserted."""
+    vals = ",\n    ".join(f"('{s}', '{p}', '{o}')" for s, p, o in _ONTOLOGY_ROWS)
+    sc, sp, rt = kg.RDFS_SUBCLASSOF, kg.RDFS_SUBPROPERTYOF, kg.RDF_TYPE
+    return f"""
+WITH RECURSIVE tri AS (SELECT subj, pred, obj FROM ({oracle.sql_triples()}) q),
+onto(subj, pred, obj) AS (VALUES
+    {vals}),
+spc(src, dst) AS (
+  SELECT subj, obj FROM onto WHERE pred = '{sp}'
+  UNION
+  SELECT r.src, o.obj FROM spc r JOIN onto o ON o.subj = r.dst AND o.pred = '{sp}'
+),
+scc(src, dst) AS (
+  SELECT subj, obj FROM onto WHERE pred = '{sc}'
+  UNION
+  SELECT r.src, o.obj FROM scc r JOIN onto o ON o.subj = r.dst AND o.pred = '{sc}'
+),
+with_props AS (
+  SELECT subj, pred, obj FROM tri
+  UNION ALL
+  SELECT t.subj, p.dst AS pred, t.obj FROM tri t JOIN spc p ON t.pred = p.src
+),
+type_inf AS (
+  SELECT w.subj, w.pred, c.dst AS obj
+  FROM with_props w JOIN scc c ON w.obj = c.src
+  WHERE w.pred = '{rt}'
+),
+asserted AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM tri
+    UNION ALL SELECT subj, pred, obj FROM onto) u
+),
+entailed AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM with_props
+    UNION ALL SELECT subj, pred, obj FROM type_inf
+    UNION ALL SELECT src AS subj, '{sc}' AS pred, dst AS obj FROM scc
+    UNION ALL SELECT src AS subj, '{sp}' AS pred, dst AS obj FROM spc
+    UNION ALL SELECT subj, pred, obj FROM onto) u
+)
+SELECT subj, pred, obj, FALSE AS inferred FROM asserted
+UNION ALL
+SELECT e.subj, e.pred, e.obj, TRUE AS inferred FROM entailed e
+WHERE NOT EXISTS (SELECT 1 FROM asserted a
+                  WHERE a.subj = e.subj AND a.pred = e.pred AND a.obj = e.obj)"""
+
+
+def _sql_anchor_topk(k: int = 3) -> str:
+    """Mirror of web.anchor_text_topk over the synthesized link graph:
+    same (dst, anchor) count, same (n_links desc, anchor asc)
+    deterministic top-k."""
+    return f"""WITH l AS (
+  SELECT (doc_id * 31 + 7) % 97 AS dst,
+         array_to_string(list_slice(
+           list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> ''),
+           1, 2), ' ') AS anchor
+  FROM documents
+), c AS (
+  SELECT dst, anchor, COUNT(*) AS n_links FROM l GROUP BY 1, 2
+)
+SELECT dst, anchor, n_links, anchor_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY dst
+             ORDER BY n_links DESC, anchor ASC) AS anchor_rank
+  FROM c
+) r WHERE anchor_rank <= {k}"""
+
+
+def _sql_corpus_filter() -> str:
+    """Mirror of text.corpus_filter: lang-id CASE precedence, the
+    4x0.25 quality score, rounded Gopher repetition fractions, and the
+    lang -> quality -> repetition first-failure precedence."""
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+    length(text) AS n_chars,
+    {_sw_hits('en')} AS h_en, {_sw_hits('de')} AS h_de,
+    {_sw_hits('fr')} AS h_fr, {_sw_hits('es')} AS h_es,
+    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> l <> '') AS lines,
+    list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, h_en, h_de, h_fr, h_es,
+    CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+    + CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok >= 3.0
+                AND CAST(n_chars AS DOUBLE)/n_tok <= 12.0 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+    + CASE WHEN n_tok > 0 AND CAST(h_en AS DOUBLE)/n_tok >= 0.05 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+    + CASE WHEN n_chars = 0 OR CAST(punct AS DOUBLE)/n_chars <= 0.2 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+      AS q,
+    round(CASE WHEN len(lines) > 0
+          THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+          ELSE CAST(0 AS DOUBLE) END, 6) AS dlf,
+    round(CASE WHEN len(tri) > 0
+          THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)
+          ELSE CAST(0 AS DOUBLE) END, 6) AS dtf
+  FROM (SELECT *, list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                  i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS tri
+        FROM f) ft
+), s AS (
+  SELECT doc_id,
+    CASE WHEN CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                   WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                   WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                   WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                   ELSE 'de' END <> 'en' THEN 'lang'
+         WHEN q < 0.75 THEN 'quality'
+         WHEN dlf > 0.30 OR dtf > 0.50 THEN 'repetition'
+         ELSE 'pass' END AS reject_reason
+  FROM g
+)
+SELECT doc_id, (reject_reason = 'pass') AS keep, reject_reason FROM s"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "gtfs_service_expansion": oracle.sql_service_expansion(),
@@ -1225,6 +1526,72 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _sql_host_pagerank(),
         "host_triangles": _sql_host_triangles(),
         "kg_bgp_match": oracle.sql_bgp_match(),
+        "kg_closure": _sql_kg_closure(),
+        "kg_rdfs_infer": _sql_kg_rdfs_infer(),
+        "anchor_topk": _sql_anchor_topk(),
+        "corpus_filter": _sql_corpus_filter(),
+        "kg_canonical_triples": f"""
+            WITH tr AS (
+              SELECT 'E' || CAST(doc_id AS VARCHAR) AS subj,
+                     '{_EX}linksTo' AS pred,
+                     'E' || CAST((doc_id - doc_id % 5 + 3) % 500 AS VARCHAR) AS obj
+              FROM documents
+            ), cmap AS (
+              SELECT 'E' || CAST(doc_id AS VARCHAR) AS id,
+                     'E' || CAST(doc_id - doc_id % 5 AS VARCHAR) AS canonical_id
+              FROM documents WHERE doc_id % 5 IN (1, 2)
+            )
+            SELECT DISTINCT
+              coalesce(ms.canonical_id, tr.subj) AS subj,
+              tr.pred,
+              coalesce(mo.canonical_id, tr.obj) AS obj
+            FROM tr
+            LEFT JOIN cmap ms ON ms.id = tr.subj
+            LEFT JOIN cmap mo ON mo.id = tr.obj
+        """,
+        "url_filter": """
+            WITH pages AS (
+              SELECT doc_id,
+                'http://' ||
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN 'www.spam.example.com'
+                  WHEN 1 THEN 'ok.example.org'
+                  WHEN 2 THEN 'good.net'
+                  ELSE 'adsite.biz' END
+                || '/p/' || CAST(doc_id AS VARCHAR)
+                || CASE WHEN doc_id % 7 = 0 THEN '/casino' ELSE '' END AS url
+              FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                CASE WHEN regexp_extract(
+                       lower(regexp_extract(url,
+                         '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)', 2)),
+                       '([^.]+\\.[^.]+)$', 1)
+                     IN ('example.com', 'adsite.biz') THEN 'domain'
+                     WHEN regexp_matches(
+                       regexp_replace(url,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''),
+                       'casino') THEN 'path'
+                     ELSE 'pass' END AS url_reject_reason
+              FROM pages
+            )
+            SELECT doc_id, (url_reject_reason = 'pass') AS url_keep,
+                   url_reject_reason
+            FROM scored
+        """,
+        "asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type <> 'error'
+            ), r AS (
+              SELECT user_id, ts, max(value) AS v FROM events
+              WHERE event_type = 'error' GROUP BY 1, 2
+            )
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS last_error_ts, r.v AS last_error_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
         "pmi_collocations": _sql_pmi_collocations(),
         "kg_earliest_arrival": oracle.sql_earliest_arrival(
             "STAGECOACH", "2007-01-03 00:00:00"

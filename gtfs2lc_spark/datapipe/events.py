@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats"]
+__all__ = ["sessionize", "session_stats", "tumbling_stats", "asof_join"]
 
 
 def _micros(c):
@@ -131,4 +131,77 @@ def tumbling_stats(
             "sum_value",
             "n_users",
         )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Temporal as-of join: attach to every left row the LATEST right
+    row with ``right.ts <= left.ts`` in the same key (left-join
+    semantics — unmatched rows keep NULLs).  The point-in-time lookup
+    of event pipelines (last config change before this fetch, last
+    error before this click, latest quote before this trade) and a
+    core engine op the DataFrame API lacks natively.
+
+    Spark-first formulation: a UNION of both streams, one window
+    pass.  Right rows carry their payload; left rows carry NULL; a
+    ``last(payload, ignorenulls=True)`` over (key) ordered by
+    (ts, side) — right sorts BEFORE a left row at the same timestamp,
+    so the match is inclusive (<=), exactly DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts``.  This is the sort-based
+    carry-forward shape (kdb aj / Flink temporal join), NOT a range
+    join: no per-row range probe, no candidate explosion.
+
+    Determinism: several right rows on one (key, ts) collapse first to
+    the MAX payload struct (lexicographic over (ts, *value_cols)) in a
+    map-side-combinable pre-aggregation, so the answer is a pure
+    function of the input multisets.
+
+    Scale posture: ONE shuffle clustering both streams by ``key_col``
+    (the pre-agg shuffles right on (key, ts), map-side combined); the
+    window sort is per-key and spills; skew is bounded by the hottest
+    key, inherent to as-of semantics.  Output: every left column, plus
+    ``<ts_col><suffix>`` and ``<v><suffix>`` for each value column.
+    """
+    vals = value_cols if value_cols is not None else [
+        c for c in right.columns if c not in (key_col, ts_col)
+    ]
+    payload = F.struct(
+        F.col(ts_col).alias("_r_ts"), *[F.col(c) for c in vals]
+    )
+    r = right.groupBy(key_col, ts_col).agg(F.max(payload).alias("_p"))
+    p_type = r.schema["_p"].dataType
+    l_struct = F.struct(*[left[c] for c in left.columns])
+    l_type = left.select(l_struct.alias("_l")).schema["_l"].dataType
+    u = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        l_struct.alias("_l"),
+        F.lit(None).cast(p_type).alias("_p"),
+    ).unionByName(
+        r.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).alias("_ts"),
+            F.lit(0).alias("_is_left"),
+            F.lit(None).cast(l_type).alias("_l"),
+            F.col("_p"),
+        )
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_c", F.last("_p", ignorenulls=True).over(w))
+    return carried.where(F.col("_is_left") == 1).select(
+        F.col("_l.*"),
+        F.col("_c._r_ts").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"_c.{c}").alias(f"{c}{suffix}") for c in vals],
     )

@@ -181,6 +181,60 @@ def repetition_filter(
     return kept if keep_signals else kept.select(*df.columns)
 
 
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.75,
+    max_dup_line_frac: float = REPETITION_MAX_DUP_LINE_FRAC,
+    max_dup_trigram_frac: float = REPETITION_MAX_DUP_TRIGRAM_FRAC,
+    keep_signals: bool = False,
+) -> DataFrame:
+    """The composed C4/Gopher-style corpus quality gate: one narrow
+    pass that scores language, quality, and repetition together and
+    emits a per-document keep/reject decision WITH the first failing
+    rule — the auditable form a production pipeline needs (reject
+    REASONS drive threshold tuning; a bare filter hides them).
+
+    Rule precedence (first failure wins, mirroring the usual
+    cheap-to-expensive filter ordering):
+
+    1. ``lang``       — :func:`lang_id` guess not in ``allowed_langs``;
+    2. ``quality``    — composite :func:`quality_features` score below
+       ``min_quality``;
+    3. ``repetition`` — duplicated-line or duplicated-trigram fraction
+       above the Gopher-style cutoffs (same rounded fractions as
+       :func:`repetition_filter`).
+
+    Kept rows carry ``reject_reason = 'pass'`` and ``keep = true``.
+    By default the output is the input schema plus ``keep`` /
+    ``reject_reason``; ``keep_signals`` retains every intermediate
+    feature column for auditing.
+
+    Scale posture: everything is whole-stage-codegen Column algebra
+    over one scan — ZERO shuffles, composes with hash_split /
+    balanced_sample downstream without a repartition.
+    """
+    scored = repetition_features(quality_features(df, text_col), text_col)
+    langs = F.array(*[F.lit(c) for c in allowed_langs])
+    reason = (
+        F.when(~F.array_contains(langs, lang_id(F.col(text_col))), F.lit("lang"))
+        .when(F.col("quality_score") < F.lit(float(min_quality)), F.lit("quality"))
+        .when(
+            (F.col("dup_lines_frac") > F.lit(float(max_dup_line_frac)))
+            | (F.col("dup_trigrams_frac") > F.lit(float(max_dup_trigram_frac))),
+            F.lit("repetition"),
+        )
+        .otherwise(F.lit("pass"))
+    )
+    out = scored.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason") == "pass"
+    )
+    if keep_signals:
+        return out
+    return out.select(*df.columns, "keep", "reject_reason")
+
+
 def corpus_token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-shape analytics for pipeline tuning: documents bucketed by
     log2 token-count bands (plus mean quality signals per band). One

@@ -15,10 +15,16 @@ verbatim: zero shuffles, whole-stage codegen, scales as a mapper.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["canonicalize_url", "url_host", "registered_domain"]
+__all__ = [
+    "canonicalize_url",
+    "url_host",
+    "registered_domain",
+    "anchor_text_topk",
+    "url_filter",
+]
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AFTER_AUTHORITY_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*"
@@ -71,9 +77,93 @@ def canonicalize_url(url: Column) -> Column:
     )
 
 
+def anchor_text_topk(
+    links: DataFrame,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` anchor texts per link target, by link count — the
+    classic web-graph description signal: what the REST of the web
+    calls a page is the strongest entity-naming evidence a KG
+    extractor has (the crawl-side twin of the stop_name dictionary
+    that kg.link_entities resolves against; anchor consensus is what
+    populates such dictionaries at web scale).
+
+    One row per (dst, anchor) that ranks in the target's top ``k``
+    with its count and 1-based rank.  Ties break toward the
+    lexicographically smaller anchor, so the output is a
+    deterministic function of the multiset of links.
+
+    Scale posture: the (dst, anchor) count is a map-side-combinable
+    hash aggregation — the 1e11-edge link graph collapses to distinct
+    observed (target, phrase) pairs before the only other wide op,
+    the per-dst ``row_number`` window.  Hot targets (everyone links
+    to the homepage of a big host) are bounded by their DISTINCT
+    anchor vocabulary, not their in-degree, after the pre-agg; a
+    single window partition is therefore vocabulary-sized, which is
+    the same per-key bound every banded-dedup op here accepts.
+    Callers normalize anchors first (``kg.normalize_entity_name``)
+    so casing variants collapse in the pre-agg.
+    """
+    counted = links.groupBy(
+        F.col(dst_col).alias("dst"), F.col(anchor_col).alias("anchor")
+    ).agg(F.count(F.lit(1)).alias("n_links"))
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc()
+    )
+    return counted.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= int(k))
+
+
 def registered_domain(host: Column) -> Column:
     """Last two dot-labels of a host — the registrable domain under
     single-label public suffixes (a full public-suffix list is a
     broadcast dimension join at production scale; this is the
     no-external-data stand-in used for domain-level weighting)."""
     return F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+
+def url_filter(
+    pages: DataFrame,
+    blocked_domains: list[str] | None = None,
+    blocked_path_pattern: str | None = None,
+    url_col: str = "url",
+    keep_signals: bool = False,
+) -> DataFrame:
+    """C4-style URL hygiene gate: drop pages whose REGISTRABLE DOMAIN
+    is on a blocklist or whose path matches a blocked pattern (adult /
+    spam / boilerplate path markers) — the crawl-side filter that runs
+    BEFORE any text is parsed, so it must be pure scan-time Column
+    algebra.
+
+    The domain probe is an ``isin`` over a literal list (a real
+    deployment swaps in a broadcast join against a public-suffix-aware
+    blocklist dimension — same plan shape, see link_entities); the
+    path probe is one RE2-subset regexp.  Rows keep ``url_keep`` and
+    ``url_reject_reason`` ('domain' / 'path' / 'pass') when
+    ``keep_signals`` — by default blocked rows are dropped and the
+    schema is unchanged.
+
+    Zero shuffles, whole-stage codegen, composes with corpus_filter
+    downstream (URL gate first: it is by far the cheapest).
+    """
+    url = F.col(url_col)
+    reason = F.lit("pass")
+    if blocked_path_pattern:
+        path = F.regexp_replace(url, _AFTER_AUTHORITY_RE, "")
+        reason = F.when(
+            path.rlike(blocked_path_pattern), F.lit("path")
+        ).otherwise(reason)
+    if blocked_domains:
+        dom = registered_domain(url_host(url))
+        reason = F.when(
+            dom.isin(list(blocked_domains)), F.lit("domain")
+        ).otherwise(reason)
+    out = pages.withColumn("url_reject_reason", reason).withColumn(
+        "url_keep", F.col("url_reject_reason") == "pass"
+    )
+    if keep_signals:
+        return out
+    return out.where(F.col("url_keep")).select(*pages.columns)

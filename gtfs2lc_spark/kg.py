@@ -44,7 +44,157 @@ __all__ = [
     "pagerank",
     "bgp_match",
     "triangles",
+    "transitive_closure",
+    "rdfs_infer",
+    "canonicalize_triples",
 ]
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_SUBCLASSOF = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+RDFS_SUBPROPERTYOF = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """All reachability pairs ``(src, dst)`` of a directed graph —
+    transitive closure by iterative path DOUBLING, the log-rounds
+    formulation (round k covers every path of length <= 2^k, so a
+    graph of longest shortest-path L converges in ceil(log2 L) + 1
+    rounds, vs L rounds for the edge-at-a-time recursive-CTE
+    semantics the oracle uses).  The hierarchy/closure primitive of
+    KG construction: rdfs:subClassOf ancestors, org hierarchies,
+    skos:broader chains.
+
+    Semantics match ``WITH RECURSIVE ... UNION``: the closure is the
+    unique least fixpoint, cycles terminate (the union is a set), and
+    a node on a cycle reaches itself (``(x, x)`` rows appear exactly
+    for those nodes).  Self-loops in the input are preserved.
+
+    Scale posture: each round is ONE self-equi-join of the reach set
+    on its boundary column plus a distinct — both hash-partition on
+    the join/dedup key, nothing broadcasts (the reach set is
+    fact-sized), and each round's result cuts lineage through
+    :func:`materialize`.  Convergence is a count() fixpoint test —
+    the union grows monotonically, so equal counts mean equal sets.
+    Raises ``RuntimeError`` if still growing after ``max_rounds``
+    (2^20-length paths: not a real KG hierarchy).
+    """
+    reach = materialize(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct(),
+        label="tc_reach",
+    )
+    n = reach.count()
+    for _ in range(int(max_rounds)):
+        hop = (
+            reach.alias("l")
+            .join(reach.alias("r"), F.col("l.dst") == F.col("r.src"))
+            .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+        )
+        new_reach = materialize(
+            reach.unionByName(hop).distinct(), label="tc_reach"
+        )
+        m = new_reach.count()
+        if m == n:
+            return new_reach
+        reach, n = new_reach, m
+    raise RuntimeError(
+        f"transitive_closure did not converge within {max_rounds} doubling "
+        "rounds (longest path > 2^rounds edges); raise max_rounds"
+    )
+
+
+def rdfs_infer(
+    triples: DataFrame,
+    ontology: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """RDFS-lite forward chaining (the rho-df subset: rules rdfs5,
+    rdfs7, rdfs9, rdfs11) — materialize the entailed triple set of
+    ``triples`` (instance data) under ``ontology`` (schema triples
+    whose preds are rdfs:subClassOf / rdfs:subPropertyOf).  The
+    reference emits asserted triples only (lib/Connections2Triples.js
+    :31-99); entailment materialization is the step a KG consumer
+    runs so SPARQL answers include superclass/superproperty facts
+    without query-time reasoning.
+
+    Rule order is the standard stratification (sound + complete for
+    ontologies where chaining does not mint new schema triples, i.e.
+    nothing is declared a subPropertyOf of rdf:type or of the rdfs
+    vocabulary itself):
+
+    1. rdfs5/rdfs11 — transitive closure of subPropertyOf and
+       subClassOf (log-rounds :func:`transitive_closure`).
+    2. rdfs7 — ``(s P o) & (P subProp Q) => (s Q o)`` over ALL data
+       triples (type triples minted here feed step 3).
+    3. rdfs9 — ``(s type C) & (C subCls D) => (s type D)``.
+
+    Output: one row per entailed triple ``(subj, pred, obj,
+    inferred)`` — the distinct union of data, schema, schema closure,
+    and rule products; ``inferred`` is true for triples absent from
+    the asserted input.
+
+    Scale posture: the ontology is dimension-sized (every class and
+    property of a web-scale KG is ~1e5 rows), so both rule joins
+    BROADCAST the closed schema against the fact-sized data — the
+    data-side never shuffles for inference; the only wide op is the
+    final distinct, keyed on the whole triple (near-unique, no hot
+    keys).  The schema closure itself runs distributed but tiny.
+    """
+    data = triples.select("subj", "pred", "obj")
+    schema = ontology.select("subj", "pred", "obj")
+    sub_prp = transitive_closure(
+        schema.where(F.col("pred") == RDFS_SUBPROPERTYOF).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        ),
+        max_rounds=max_rounds,
+    )
+    sub_cls = transitive_closure(
+        schema.where(F.col("pred") == RDFS_SUBCLASSOF).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        ),
+        max_rounds=max_rounds,
+    )
+    # rdfs7: superproperty facts.
+    prop_inf = data.join(
+        F.broadcast(sub_prp), data["pred"] == sub_prp["src"]
+    ).select("subj", F.col("dst").alias("pred"), "obj")
+    with_props = data.unionByName(prop_inf)
+    # rdfs9: superclass types (over asserted AND rdfs7-minted types).
+    type_inf = (
+        with_props.where(F.col("pred") == RDF_TYPE)
+        .join(F.broadcast(sub_cls), F.col("obj") == sub_cls["src"])
+        .select("subj", "pred", F.col("dst").alias("obj"))
+    )
+    closure_triples = sub_cls.select(
+        F.col("src").alias("subj"),
+        F.lit(RDFS_SUBCLASSOF).alias("pred"),
+        F.col("dst").alias("obj"),
+    ).unionByName(
+        sub_prp.select(
+            F.col("src").alias("subj"),
+            F.lit(RDFS_SUBPROPERTYOF).alias("pred"),
+            F.col("dst").alias("obj"),
+        )
+    )
+    asserted = data.unionByName(schema).distinct()
+    entailed = (
+        with_props.unionByName(type_inf)
+        .unionByName(closure_triples)
+        .unionByName(schema)
+        .distinct()
+    )
+    key = ["subj", "pred", "obj"]
+    return asserted.withColumn("inferred", F.lit(False)).unionByName(
+        entailed.join(asserted, key, "left_anti").withColumn(
+            "inferred", F.lit(True)
+        )
+    )
 
 
 def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
@@ -555,3 +705,52 @@ def earliest_arrivals(
         f"earliest_arrivals did not converge within {max_rounds} rounds; "
         "raise max_rounds (bound = longest optimal connection chain)"
     )
+
+
+def canonicalize_triples(
+    triples: DataFrame,
+    canon_map: DataFrame,
+    id_col: str = "id",
+    canon_col: str = "canonical_id",
+    broadcast_map: bool = True,
+) -> DataFrame:
+    """Rewrite a triple set through an entity-canonicalization map —
+    the owl:sameAs MERGE step of KG construction: after sameAs closure
+    elects canonical ids (geo_cluster_pairs ->
+    dedup.connected_components), every triple mentioning a merged
+    entity must point at the canonical one, then duplicates collapse
+    (two feeds asserting the same fact about the same physical stop
+    become ONE triple).  The reference keys entities per-feed and
+    leaves cross-feed identity to consumers; this is that step.
+
+    ``canon_map`` holds (id, canonical_id) rows for NON-canonical
+    members only or for all members — ids absent from the map pass
+    through unchanged (left join + coalesce), so both conventions
+    work.  Subjects and objects are both rewritten; predicates never
+    are (schema IRIs are not instance entities).
+
+    Scale posture: the map is dimension-sized (merged-entity count),
+    so by default both rewrites are explicit BROADCAST left joins and
+    the triple fact table never shuffles for the rewrite; pass
+    ``broadcast_map=False`` for a pathological map (then both sides
+    hash-partition on the join key).  The final duplicate collapse is
+    one distinct on the whole rewritten triple — the only wide op,
+    near-unique key.
+    """
+    m = canon_map.select(
+        F.col(id_col).alias("_m_id"), F.col(canon_col).alias("_m_canon")
+    )
+    if broadcast_map:
+        m = F.broadcast(m)
+    out = (
+        triples.select("subj", "pred", "obj")
+        .join(m, F.col("subj") == F.col("_m_id"), "left")
+        .select(
+            F.coalesce("_m_canon", "subj").alias("subj"), "pred", "obj"
+        )
+        .join(m, F.col("obj") == F.col("_m_id"), "left")
+        .select(
+            "subj", "pred", F.coalesce("_m_canon", "obj").alias("obj")
+        )
+    )
+    return out.distinct()

@@ -556,3 +556,45 @@ def test_balanced_sample_caps_and_determinism(spark):
     assert kept.columns == ["doc_id", "text", "source"]
     # no cap binding -> identity
     assert text.balanced_sample(df, cap_share=1.0).count() == 100
+
+
+def test_corpus_filter_reasons_and_precedence(spark):
+    """One doc per outcome: pass, lang (also low-quality: precedence
+    puts lang first), quality (English, >=10 tokens, but mean word
+    length and punct both out of band), repetition (English, clean
+    quality, duplicated trigrams)."""
+    good = "the quick brown fox jumps over the lazy dog and runs away fast."
+    french = "le chat et le chien sont dans la maison avec les enfants"
+    lowq = ("the aaaaaaaaaaaaaaaaaaaaaaaaaaaa!!!!!!!!!!!!!!!!!!!!! "
+            "the bbbbbbbbbbbbbbbbbbbbbbbbbbbb!!!!!!!!!!!!!!!!!!!!! "
+            "the cccccccccccccccccccccccccccc!!!!!!!!!!!!!!!!!!!!! "
+            "the dddddddddddddddddddddddddddd!!!!!!!!!!!!!!!!!!!!! "
+            "the eeeeeeeeeeeeeeeeeeeeeeeeeeee!!!!!!!!!!!!!!!!!!!!!")
+    repet = ("the cat sat on the mat " * 6) + "and the dog was here now."
+    df = spark.createDataFrame(
+        [(1, good), (2, french), (3, lowq), (4, repet)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.keep, r.reject_reason)
+        for r in text.corpus_filter(df).collect()
+    }
+    assert out == {
+        1: (True, "pass"),
+        2: (False, "lang"),
+        3: (False, "quality"),
+        4: (False, "repetition"),
+    }
+
+
+def test_corpus_filter_zero_shuffle_and_schema(spark):
+    """The composed gate is one codegen pass: no Exchange anywhere in
+    the plan; default output schema = input + keep + reject_reason."""
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = text.corpus_filter(df)
+    assert out.columns == ["doc_id", "text", "keep", "reject_reason"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    audited = text.corpus_filter(df, keep_signals=True)
+    assert "quality_score" in audited.columns
+    assert "dup_trigrams_frac" in audited.columns

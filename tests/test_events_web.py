@@ -158,3 +158,128 @@ def test_tumbling_stats_bucket_boundaries(spark):
         (h0, "click"): (1, 8.0, 1),
         (h0 + 3600, "view"): (1, 4.0, 1),
     }
+
+
+def test_anchor_text_topk_count_and_tiebreak(spark):
+    """Per-target top-k by link count; count ties break toward the
+    lexicographically smaller anchor; rank k+1 is cut."""
+    links = spark.createDataFrame(
+        [("t1", "beta"), ("t1", "beta"), ("t1", "alpha"), ("t1", "alpha"),
+         ("t1", "gamma"), ("t2", "solo")],
+        "dst string, anchor string",
+    )
+    rows = {
+        (r.dst, r.anchor): (r.n_links, r.rank)
+        for r in web.anchor_text_topk(links, k=2).collect()
+    }
+    assert rows == {
+        ("t1", "alpha"): (2, 1),   # tie with beta at 2 -> alpha first
+        ("t1", "beta"): (2, 2),
+        ("t2", "solo"): (1, 1),
+    }
+
+
+def test_anchor_text_topk_single_agg_before_window(spark):
+    """The raw link multiset must collapse in a hash aggregation before
+    the per-dst window (never a window over raw links): in the printed
+    tree (parent-first) the Window is an ancestor of the
+    HashAggregate."""
+    links = spark.createDataFrame(
+        [("t1", "a")] * 10, "dst string, anchor string"
+    )
+    plan = web.anchor_text_topk(links, k=1)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def _asof_frames(spark):
+    l = spark.createDataFrame(
+        [(1, 5, 10), (1, 2, 20), (2, 9, 30), (3, 4, 40)], "k int, ts int, v int"
+    )
+    r = spark.createDataFrame(
+        [(1, 3, 100), (1, 5, 200), (2, 1, 300)], "k int, ts int, p int"
+    )
+    return l, r
+
+
+def test_asof_join_inclusive_match_and_left_semantics(spark):
+    """Latest right.ts <= left.ts per key; equal timestamps match
+    (inclusive); keys/times with no preceding right row keep NULLs."""
+    l, r = _asof_frames(spark)
+    got = {
+        (row.k, row.ts): (row.v, row.ts_asof, row.p_asof)
+        for row in dp_events.asof_join(l, r, key_col="k", ts_col="ts").collect()
+    }
+    assert got == {
+        (1, 2): (20, None, None),     # before first right row
+        (1, 5): (10, 5, 200),         # inclusive: right at ts=5 wins over ts=3
+        (2, 9): (30, 1, 300),
+        (3, 4): (40, None, None),     # key absent on the right
+    }
+
+
+def test_asof_join_duplicate_right_ts_is_deterministic(spark):
+    """Two right rows on one (key, ts) collapse to the max payload
+    before the join — the result is a pure function of the multiset."""
+    l = spark.createDataFrame([(1, 9, 0)], "k int, ts int, v int")
+    r = spark.createDataFrame(
+        [(1, 4, 7), (1, 4, 3)], "k int, ts int, p int"
+    )
+    rows = dp_events.asof_join(l, r, key_col="k", ts_col="ts").collect()
+    assert len(rows) == 1 and rows[0].p_asof == 7
+
+
+def test_asof_join_single_key_exchange_no_range_join(spark):
+    """The plan is one key-clustered window over the union — no
+    broadcast-nested-loop / cartesian range probe anywhere."""
+    l, r = _asof_frames(spark)
+    plan = (
+        dp_events.asof_join(l, r, key_col="k", ts_col="ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_url_filter_reasons_precedence_and_drop(spark):
+    """Domain block outranks path block; default mode drops blocked
+    rows with the input schema; keep_signals retains reasons."""
+    pages = spark.createDataFrame(
+        [
+            (1, "http://ok.example.org/fine"),
+            (2, "http://www.bad.example.com/fine"),        # domain
+            (3, "http://ok.example.org/casino/night"),     # path
+            (4, "http://sub.bad.example.com/casino"),      # both -> domain
+        ],
+        "doc_id long, url string",
+    )
+    audited = {
+        r.doc_id: (r.url_keep, r.url_reject_reason)
+        for r in web.url_filter(
+            pages,
+            blocked_domains=["example.com"],
+            blocked_path_pattern="casino",
+            keep_signals=True,
+        ).collect()
+    }
+    assert audited == {
+        1: (True, "pass"),
+        2: (False, "domain"),
+        3: (False, "path"),
+        4: (False, "domain"),
+    }
+    kept = web.url_filter(
+        pages, blocked_domains=["example.com"], blocked_path_pattern="casino"
+    )
+    assert kept.columns == ["doc_id", "url"]
+    assert [r.doc_id for r in kept.collect()] == [1]
+
+
+def test_url_filter_zero_shuffle(spark):
+    pages = spark.createDataFrame([(1, "http://a.b/c")], "doc_id long, url string")
+    plan = (
+        web.url_filter(pages, blocked_domains=["b.c"], blocked_path_pattern="x")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -422,3 +422,132 @@ def test_triangles_degree_orientation_matches_bruteforce(spark):
         if b < c and (b, c) in und and (a, c) in und
     }
     assert got == brute and len(brute) > 0
+
+
+# ---------------------------------------------------------------------------
+# transitive_closure / rdfs_infer
+# ---------------------------------------------------------------------------
+
+def test_transitive_closure_chain_and_branch(spark):
+    """Doubling closure over a small DAG = hand-enumerated pair set."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 2)], "src int, dst int"
+    )
+    got = {(r.src, r.dst) for r in kg.transitive_closure(edges).collect()}
+    assert got == {
+        (1, 2), (2, 3), (3, 4), (5, 2),
+        (1, 3), (2, 4), (5, 3),
+        (1, 4), (5, 4),
+    }
+
+
+def test_transitive_closure_cycle_terminates_and_is_reflexive_on_cycle(spark):
+    """A 3-cycle converges (set semantics) and every cycle node reaches
+    itself — matching WITH RECURSIVE ... UNION."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src int, dst int")
+    got = {(r.src, r.dst) for r in kg.transitive_closure(edges).collect()}
+    assert got == {(a, b) for a in (1, 2, 3) for b in (1, 2, 3)}
+
+
+def test_transitive_closure_nonconvergence_raises(spark):
+    """max_rounds=1 on a 3-edge chain (needs length-3 paths => 2 rounds)
+    must raise, not return a truncated closure."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kg.transitive_closure(edges, max_rounds=1)
+
+
+RDFS_SC = kg.RDFS_SUBCLASSOF
+RDFS_SP = kg.RDFS_SUBPROPERTYOF
+RDF_T = kg.RDF_TYPE
+
+
+def test_rdfs_infer_exact_entailment(spark):
+    """rdfs5/7/9/11 on a 2-level class chain + 2-level property chain:
+    the inferred set is exactly the textbook entailment, asserted rows
+    keep inferred=false."""
+    data = spark.createDataFrame(
+        [("a", RDF_T, "C1"), ("a", "p1", "b")],
+        "subj string, pred string, obj string",
+    )
+    onto = spark.createDataFrame(
+        [
+            ("C1", RDFS_SC, "C2"), ("C2", RDFS_SC, "C3"),
+            ("p1", RDFS_SP, "p2"), ("p2", RDFS_SP, "p3"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = kg.rdfs_infer(data, onto)
+    inferred = {
+        (r.subj, r.pred, r.obj) for r in out.where(F.col("inferred")).collect()
+    }
+    assert inferred == {
+        ("a", RDF_T, "C2"), ("a", RDF_T, "C3"),        # rdfs9 via closure
+        ("a", "p2", "b"), ("a", "p3", "b"),            # rdfs7 via closure
+        ("C1", RDFS_SC, "C3"),                          # rdfs11
+        ("p1", RDFS_SP, "p3"),                          # rdfs5
+    }
+    asserted = {
+        (r.subj, r.pred, r.obj)
+        for r in out.where(~F.col("inferred")).collect()
+    }
+    assert asserted == {
+        ("a", RDF_T, "C1"), ("a", "p1", "b"),
+        ("C1", RDFS_SC, "C2"), ("C2", RDFS_SC, "C3"),
+        ("p1", RDFS_SP, "p2"), ("p2", RDFS_SP, "p3"),
+    }
+
+
+def test_rdfs_infer_subproperty_feeds_type_inference(spark):
+    """A type triple minted by rdfs7 (pred subPropertyOf rdf:type)
+    participates in rdfs9 — the stratification order is property
+    inference first."""
+    data = spark.createDataFrame(
+        [("a", "isA", "C1")], "subj string, pred string, obj string"
+    )
+    onto = spark.createDataFrame(
+        [("isA", RDFS_SP, RDF_T), ("C1", RDFS_SC, "C2")],
+        "subj string, pred string, obj string",
+    )
+    out = kg.rdfs_infer(data, onto)
+    inferred = {
+        (r.subj, r.pred, r.obj) for r in out.where(F.col("inferred")).collect()
+    }
+    assert (("a", RDF_T, "C1")) in inferred
+    assert (("a", RDF_T, "C2")) in inferred
+
+
+def test_canonicalize_triples_rewrites_and_collapses(spark):
+    """subj AND obj rewrite through the map; unmapped ids pass through;
+    facts that become identical after the merge collapse to one row."""
+    tr = spark.createDataFrame(
+        [("a1", "p", "b"), ("a2", "p", "b"), ("c", "p", "a2"), ("x", "p", "y")],
+        "subj string, pred string, obj string",
+    )
+    cmap = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A")], "id string, canonical_id string"
+    )
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in kg.canonicalize_triples(tr, cmap).collect()
+    }
+    assert got == {
+        ("A", "p", "b"),     # a1/a2 rows merged into one
+        ("c", "p", "A"),     # object rewritten
+        ("x", "p", "y"),     # untouched
+    }
+
+
+def test_canonicalize_triples_broadcast_plan(spark):
+    """Default plan: two BroadcastHashJoins, no SortMergeJoin — the
+    fact table never shuffles for the rewrite."""
+    tr = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string"
+    )
+    cmap = spark.createDataFrame([("a", "A")], "id string, canonical_id string")
+    plan = (
+        kg.canonicalize_triples(tr, cmap)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
