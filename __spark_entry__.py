@@ -368,8 +368,8 @@ def _canon_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     entity E<id> links to E<(id - id%5 + 3) % 500>; ids with id%5 in
     {1,2} merge into their id - id%5 canonical entity — so the two
     merged members of each 5-block assert the SAME fact about the same
-    target and must collapse to one triple (500 -> 400 rows at
-    sf0.01)."""
+    target and must collapse to one triple; id%5 in {3,4} rows stay
+    distinct (500 docs -> 300 distinct facts at sf0.01)."""
     d = _load(spark, sf_dir, "documents").select("doc_id")
     ent = F.concat(F.lit("E"), F.col("doc_id"))
     tr = d.select(
@@ -1564,13 +1564,15 @@ def oracle_sql() -> dict[str, str]:
             ), scored AS (
               SELECT doc_id,
                 CASE WHEN regexp_extract(
-                       lower(regexp_extract(url,
-                         '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)', 2)),
+                       regexp_replace(
+                         lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)', 2)),
+                         ':[0-9]+$', ''),
                        '([^.]+\\.[^.]+)$', 1)
                      IN ('example.com', 'adsite.biz') THEN 'domain'
                      WHEN regexp_matches(
-                       regexp_replace(url,
-                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''),
+                       regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?#]*)', 1),
                        'casino') THEN 'path'
                      ELSE 'pass' END AS url_reject_reason
               FROM pages

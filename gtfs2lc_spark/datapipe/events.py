@@ -163,6 +163,14 @@ def asof_join(
     map-side-combinable pre-aggregation, so the answer is a pure
     function of the input multisets.
 
+    NULL semantics match SQL ASOF equality/inequality: right rows with
+    a NULL key or NULL timestamp can never match and are dropped from
+    the probe side; left rows with a NULL key or NULL timestamp get
+    NULL payloads (NULLs sort first under the ascending window order,
+    before any surviving right row, so the carry-forward is naturally
+    empty for them).  Raises ``ValueError`` if an output column name
+    (``<col><suffix>``) collides with an existing left column.
+
     Scale posture: ONE shuffle clustering both streams by ``key_col``
     (the pre-agg shuffles right on (key, ts), map-side combined); the
     window sort is per-key and spills; skew is bounded by the hottest
@@ -172,10 +180,20 @@ def asof_join(
     vals = value_cols if value_cols is not None else [
         c for c in right.columns if c not in (key_col, ts_col)
     ]
+    clash = [c for c in [ts_col] + vals if f"{c}{suffix}" in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join output columns {[c + suffix for c in clash]} already "
+            "exist on the left side; pass a different suffix"
+        )
     payload = F.struct(
         F.col(ts_col).alias("_r_ts"), *[F.col(c) for c in vals]
     )
-    r = right.groupBy(key_col, ts_col).agg(F.max(payload).alias("_p"))
+    r = (
+        right.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(key_col, ts_col)
+        .agg(F.max(payload).alias("_p"))
+    )
     p_type = r.schema["_p"].dataType
     l_struct = F.struct(*[left[c] for c in left.columns])
     l_type = left.select(l_struct.alias("_l")).schema["_l"].dataType

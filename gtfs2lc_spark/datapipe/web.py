@@ -140,11 +140,20 @@ def url_filter(
 
     The domain probe is an ``isin`` over a literal list (a real
     deployment swaps in a broadcast join against a public-suffix-aware
-    blocklist dimension — same plan shape, see link_entities); the
-    path probe is one RE2-subset regexp.  Rows keep ``url_keep`` and
-    ``url_reject_reason`` ('domain' / 'path' / 'pass') when
-    ``keep_signals`` — by default blocked rows are dropped and the
-    schema is unchanged.
+    blocklist dimension — same plan shape, see link_entities) over the
+    PORT-STRIPPED host, so ``adsite.biz:8080`` cannot dodge a
+    ``adsite.biz`` block; the path probe is one RE2-subset regexp over
+    the parsed path only (query string and fragment excluded).
+    Domain block outranks path block in the reported reason.  Rows
+    keep ``url_keep`` and ``url_reject_reason`` ('domain' / 'path' /
+    'pass') when ``keep_signals`` — by default blocked rows are
+    dropped and the schema is unchanged.
+
+    Only absolute ``scheme://`` URLs are judged: a non-absolute URL
+    parses to an empty host and empty path, so NEITHER probe fires and
+    it passes through — crawl inputs are absolute by construction;
+    route anything else to quarantine upstream, don't rely on this
+    gate to catch malformed rows.
 
     Zero shuffles, whole-stage codegen, composes with corpus_filter
     downstream (URL gate first: it is by far the cheapest).
@@ -152,12 +161,15 @@ def url_filter(
     url = F.col(url_col)
     reason = F.lit("pass")
     if blocked_path_pattern:
-        path = F.regexp_replace(url, _AFTER_AUTHORITY_RE, "")
+        path = F.regexp_extract(
+            url, _AFTER_AUTHORITY_RE + "([^?#]*)", 1
+        )
         reason = F.when(
             path.rlike(blocked_path_pattern), F.lit("path")
         ).otherwise(reason)
     if blocked_domains:
-        dom = registered_domain(url_host(url))
+        host = F.regexp_replace(url_host(url), ":[0-9]+$", "")
+        dom = registered_domain(host)
         reason = F.when(
             dom.isin(list(blocked_domains)), F.lit("domain")
         ).otherwise(reason)

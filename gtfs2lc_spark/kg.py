@@ -124,9 +124,11 @@ def rdfs_infer(
     without query-time reasoning.
 
     Rule order is the standard stratification (sound + complete for
-    ontologies where chaining does not mint new schema triples, i.e.
-    nothing is declared a subPropertyOf of rdf:type or of the rdfs
-    vocabulary itself):
+    ontologies where chaining does not mint new SCHEMA triples —
+    nothing declared a subPropertyOf of rdfs:subClassOf /
+    rdfs:subPropertyOf; a subPropertyOf of rdf:type IS supported,
+    because rdfs7 runs before rdfs9 and its minted type facts feed
+    class inference — pytest-pinned):
 
     1. rdfs5/rdfs11 — transitive closure of subPropertyOf and
        subClassOf (log-rounds :func:`transitive_closure`).
@@ -142,9 +144,13 @@ def rdfs_infer(
     Scale posture: the ontology is dimension-sized (every class and
     property of a web-scale KG is ~1e5 rows), so both rule joins
     BROADCAST the closed schema against the fact-sized data — the
-    data-side never shuffles for inference; the only wide op is the
-    final distinct, keyed on the whole triple (near-unique, no hot
-    keys).  The schema closure itself runs distributed but tiny.
+    data-side never shuffles for inference.  The dedup AND the
+    inferred flag come from ONE wide op: all candidate triples union
+    with an ``asserted`` tag and a single map-side-combinable
+    groupBy(subj, pred, obj).max(tag) collapses duplicates and marks
+    rows never asserted — no separate distincts, no anti-join.  The
+    key is the whole triple (near-unique, no hot keys).  The schema
+    closure itself runs distributed but tiny.
     """
     data = triples.select("subj", "pred", "obj")
     schema = ontology.select("subj", "pred", "obj")
@@ -182,17 +188,21 @@ def rdfs_infer(
             F.col("dst").alias("obj"),
         )
     )
-    asserted = data.unionByName(schema).distinct()
-    entailed = (
-        with_props.unionByName(type_inf)
-        .unionByName(closure_triples)
-        .unionByName(schema)
-        .distinct()
+    def tag(df: DataFrame, asserted: int) -> DataFrame:
+        return df.withColumn("_asserted", F.lit(asserted))
+
+    candidates = (
+        tag(data, 1)
+        .unionByName(tag(schema, 1))
+        .unionByName(tag(prop_inf, 0))
+        .unionByName(tag(type_inf, 0))
+        .unionByName(tag(closure_triples, 0))
     )
-    key = ["subj", "pred", "obj"]
-    return asserted.withColumn("inferred", F.lit(False)).unionByName(
-        entailed.join(asserted, key, "left_anti").withColumn(
-            "inferred", F.lit(True)
+    return (
+        candidates.groupBy("subj", "pred", "obj")
+        .agg(F.max("_asserted").alias("_asserted"))
+        .select(
+            "subj", "pred", "obj", (F.col("_asserted") == 0).alias("inferred")
         )
     )
 

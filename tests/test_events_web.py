@@ -283,3 +283,56 @@ def test_url_filter_zero_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_asof_join_null_keys_and_ts_never_match(spark):
+    """SQL ASOF equality/inequality semantics: NULL keys and NULL
+    timestamps match nothing on either side."""
+    l = spark.createDataFrame(
+        [(None, 5, 1), (1, None, 2), (1, 7, 3)], "k int, ts int, v int"
+    )
+    r = spark.createDataFrame(
+        [(None, 3, 100), (1, None, 200), (1, 4, 300)], "k int, ts int, p int"
+    )
+    got = {
+        row.v: (row.ts_asof, row.p_asof)
+        for row in dp_events.asof_join(l, r, key_col="k", ts_col="ts").collect()
+    }
+    assert got == {
+        1: (None, None),   # NULL left key
+        2: (None, None),   # NULL left ts
+        3: (4, 300),       # normal row unaffected; NULL-ts right row ignored
+    }
+
+
+def test_asof_join_output_collision_raises(spark):
+    import pytest as _pytest
+
+    l = spark.createDataFrame([(1, 5, 9)], "k int, ts int, p_asof int")
+    r = spark.createDataFrame([(1, 3, 8)], "k int, ts int, p int")
+    with _pytest.raises(ValueError, match="already"):
+        dp_events.asof_join(l, r, key_col="k", ts_col="ts")
+
+
+def test_url_filter_port_query_and_schemeless(spark):
+    """Ports cannot dodge the domain blocklist; the path probe ignores
+    the query string; non-absolute URLs hit neither probe."""
+    pages = spark.createDataFrame(
+        [
+            (1, "http://adsite.biz:8080/x"),          # port-stripped -> domain
+            (2, "http://ok.example.org/page?ref=casino"),  # query only -> pass
+            (3, "casino-reviews.example/about"),       # schemeless -> pass
+            (4, "http://ok.example.org/casino#x"),     # path (fragment cut)
+        ],
+        "doc_id long, url string",
+    )
+    audited = {
+        r.doc_id: r.url_reject_reason
+        for r in web.url_filter(
+            pages,
+            blocked_domains=["adsite.biz"],
+            blocked_path_pattern="casino",
+            keep_signals=True,
+        ).collect()
+    }
+    assert audited == {1: "domain", 2: "pass", 3: "pass", 4: "path"}

@@ -551,3 +551,21 @@ def test_canonicalize_triples_broadcast_plan(spark):
     )
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_rdfs_infer_single_wide_op(spark):
+    """Dedup + inferred flag come from ONE hash aggregation over the
+    tagged candidate union — no anti-join, no extra distincts (the
+    closure rounds aside, which run on schema-sized data)."""
+    data = spark.createDataFrame(
+        [("a", RDF_T, "C1")], "subj string, pred string, obj string"
+    )
+    onto = spark.createDataFrame(
+        [("C1", RDFS_SC, "C2")], "subj string, pred string, obj string"
+    )
+    plan = (
+        kg.rdfs_infer(data, onto)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "LeftAnti" not in plan and "left_anti" not in plan
