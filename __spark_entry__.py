@@ -424,6 +424,14 @@ def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "url_keep", "url_reject_reason")
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample without replacement: top-50
+    documents by seeded u^(1/n_chars) priority — deterministic
+    quality-weighted downsampling."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return text.weighted_sample(d, k=50, weight_col="n_chars")
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal as-of join: every non-error event picks up the latest
     preceding (inclusive) error by the same user — sort-based
@@ -976,6 +984,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "kg_canonical_triples": _q_kg_canonical_triples,
         "url_filter": _q_url_filter,
+        "weighted_sample": _q_weighted_sample,
         "pmi_collocations": _q_pmi_collocations,
         "w1_lag_pairs": _q_w1_lag_pairs,
         "j6_date_explode": _q_j6_date_explode,
@@ -1580,6 +1589,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (url_reject_reason = 'pass') AS url_keep,
                    url_reject_reason
             FROM scored
+        """,
+        "weighted_sample": f"""
+            WITH s AS (
+              SELECT doc_id, n_chars,
+                round(
+                  ln((CAST({_DUCK_H60.format(s="'wsample-v1' || '|' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1.0)
+                     / 1152921504606846976.0)
+                  / CAST(n_chars AS DOUBLE), 12) AS sample_priority
+              FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, n_chars, sample_priority FROM s
+            ORDER BY sample_priority DESC, doc_id ASC LIMIT 50
         """,
         "asof_join": """
             WITH l AS (

@@ -792,3 +792,47 @@ def balanced_sample(
         F.lit(10000),
     )
     return df.join(thr, source_col).where(bucket < F.col("_thr")).select(*df.columns)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis priority sample: row i gets priority
+    u_i^(1/w_i) with u_i a seeded engine-portable uniform in (0, 1],
+    and the top-``k`` priorities are the sample.  The quality-weighted
+    downsampling step of corpus curation (weight = quality score or
+    token count): inclusion probability scales with weight, membership
+    is a pure function of (seed, id, weight) — rerunning, resharding,
+    or re-reading never changes the sample, unlike df.sample.
+
+    Priorities compare in log space (ln(u)/w, same order as u^(1/w))
+    rounded to 12 decimals with an ``id_col`` tiebreak, so the
+    selection is a total order both engines reproduce bit-identically
+    (ulp-level libm differences vanish at the 1e-12 grid).  Rows with
+    non-positive weight are excluded (they cannot be drawn).
+
+    Scale posture: pure narrow scoring + ``orderBy().limit(k)``, which
+    compiles to TakeOrderedAndProject — per-partition top-k heaps and
+    a driver merge of P x k candidates, never a global sort.  For
+    P x k beyond driver comfort, pre-filter with a score threshold the
+    way sinks.dense_index routes its huge-P sample.
+    """
+    from .dedup import portable_hash60
+
+    h = portable_hash60(
+        F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    score = F.round(F.log(u) / w, 12)
+    return (
+        df.where(w > 0)
+        .select("*", score.alias("sample_priority"))
+        .orderBy(F.col("sample_priority").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

@@ -598,3 +598,28 @@ def test_corpus_filter_zero_shuffle_and_schema(spark):
     audited = text.corpus_filter(df, keep_signals=True)
     assert "quality_score" in audited.columns
     assert "dup_trigrams_frac" in audited.columns
+
+
+def test_weighted_sample_determinism_and_weight_monotonicity(spark):
+    """Same seed -> identical membership across runs; heavier rows are
+    sampled more often across seeds (sanity on the E-S property); rows
+    with non-positive weight never appear; plan is TakeOrdered, not a
+    global sort."""
+    rows = [(i, 1.0 if i < 50 else 100.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    pick1 = sorted(r.doc_id for r in text.weighted_sample(df, 20, "w").collect())
+    pick2 = sorted(r.doc_id for r in text.weighted_sample(df, 20, "w").collect())
+    assert pick1 == pick2 and len(pick1) == 20
+    # heavy ids (>=50, weight 100x) should dominate the sample across seeds
+    heavy = 0
+    for seed in ("a", "b", "c"):
+        got = [
+            r.doc_id
+            for r in text.weighted_sample(df, 20, "w", seed=seed).collect()
+        ]
+        heavy += sum(1 for i in got if i >= 50)
+    assert heavy >= 45  # 3 seeds x 20 picks, expect ~58/60 heavy
+    zero = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "doc_id long, w double")
+    assert [r.doc_id for r in text.weighted_sample(zero, 3, "w").collect()] == [3]
+    plan = text.weighted_sample(df, 5, "w")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
