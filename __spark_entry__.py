@@ -424,6 +424,36 @@ def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "url_keep", "url_reject_reason")
 
 
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation chain end-to-end: URL gate (synthesized
+    crawl URLs) -> lang/quality/repetition gate -> exact fingerprint
+    dedup (min-id keep) -> 10%-cap source balancing with thresholds
+    over the post-dedup survivors."""
+    from gtfs2lc_spark.datapipe import curate
+
+    d = _load(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("www.spam.example.com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("ok.example.org"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("good.net"))
+        .otherwise(F.lit("adsite.biz"))
+    )
+    pages = d.select(
+        "doc_id", "text", "source",
+        F.concat(
+            F.lit("http://"), host, F.lit("/p/"), F.col("doc_id"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("/casino")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    out = curate.curate_corpus(
+        pages,
+        blocked_domains=["example.com", "adsite.biz"],
+        blocked_path_pattern="casino",
+        cap_share=0.10,
+    )
+    return out.select("doc_id", "source")
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sample without replacement: top-50
     documents by seeded u^(1/n_chars) priority — deterministic
@@ -985,6 +1015,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": _q_kg_canonical_triples,
         "url_filter": _q_url_filter,
         "weighted_sample": _q_weighted_sample,
+        "curate_corpus": _q_curate_corpus,
         "pmi_collocations": _q_pmi_collocations,
         "w1_lag_pairs": _q_w1_lag_pairs,
         "j6_date_explode": _q_j6_date_explode,
@@ -1471,10 +1502,12 @@ SELECT dst, anchor, n_links, anchor_rank FROM (
 ) r WHERE anchor_rank <= {k}"""
 
 
-def _sql_corpus_filter() -> str:
+def _sql_corpus_filter(src: str = "documents") -> str:
     """Mirror of text.corpus_filter: lang-id CASE precedence, the
     4x0.25 quality score, rounded Gopher repetition fractions, and the
-    lang -> quality -> repetition first-failure precedence."""
+    lang -> quality -> repetition first-failure precedence.  ``src``
+    lets the curation-composition oracle run the same gate over a
+    survivor CTE."""
     return f"""
 WITH f AS (
   SELECT doc_id,
@@ -1487,7 +1520,7 @@ WITH f AS (
     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
                 l -> l <> '') AS lines,
     list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '') AS w
-  FROM documents
+  FROM {src}
 ), g AS (
   SELECT doc_id, h_en, h_de, h_fr, h_es,
     CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
@@ -1518,6 +1551,58 @@ WITH f AS (
   FROM g
 )
 SELECT doc_id, (reject_reason = 'pass') AS keep, reject_reason FROM s"""
+
+
+def _sql_curate_corpus(cap_share: float = 0.10) -> str:
+    """Mirror of datapipe.curate.curate_corpus over the synthesized
+    crawl URLs: URL gate and corpus gate intersected (both are
+    per-row, so order is immaterial), min-id fingerprint dedup over
+    the survivors, balance thresholds over the POST-dedup set — the
+    same data dependency the Spark composition has."""
+    url_reason = """CASE WHEN regexp_extract(
+         regexp_replace(
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)', 2)),
+           ':[0-9]+$', ''),
+         '([^.]+\\.[^.]+)$', 1)
+       IN ('example.com', 'adsite.biz') THEN 'domain'
+       WHEN regexp_matches(
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?#]*)', 1),
+         'casino') THEN 'path'
+       ELSE 'pass' END"""
+    h32 = _DUCK_H32.format(s="'balance-v1' || '|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+    'http://' ||
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'www.spam.example.com'
+      WHEN 1 THEN 'ok.example.org'
+      WHEN 2 THEN 'good.net'
+      ELSE 'adsite.biz' END
+    || '/p/' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 7 = 0 THEN '/casino' ELSE '' END AS url
+  FROM documents
+),
+u AS (SELECT doc_id FROM pages WHERE {url_reason} = 'pass'),
+cfk AS (SELECT doc_id FROM ({_sql_corpus_filter('documents')}) q WHERE keep),
+surv AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d
+  JOIN u USING (doc_id) JOIN cfk USING (doc_id)
+),
+dd AS (
+  SELECT MIN(doc_id) AS doc_id FROM surv
+  GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+),
+kept AS (SELECT s.* FROM surv s JOIN dd USING (doc_id)),
+sstat AS (SELECT source, COUNT(*) AS _n FROM kept GROUP BY source),
+t AS (SELECT COUNT(*) AS _t FROM kept),
+thr AS (
+  SELECT source,
+         CAST(round(least(1.0, ({cap_share} * _t) / _n) * 10000) AS BIGINT) AS _thr
+  FROM sstat CROSS JOIN t
+)
+SELECT k.doc_id, k.source FROM kept k JOIN thr USING (source)
+WHERE {h32} % 10000 < _thr"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1590,6 +1675,7 @@ def oracle_sql() -> dict[str, str]:
                    url_reject_reason
             FROM scored
         """,
+        "curate_corpus": _sql_curate_corpus(),
         "weighted_sample": f"""
             WITH s AS (
               SELECT doc_id, n_chars,

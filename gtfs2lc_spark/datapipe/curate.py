@@ -1,0 +1,92 @@
+"""End-to-end corpus curation: the composed cleaning pipeline a
+training-data team actually ships — URL hygiene, then language /
+quality / repetition gating, then exact dedup, then source-balanced
+downsampling.  Every stage is individually value-hash-verified by its
+own gate query; :func:`curate_corpus` is the verified COMPOSITION
+(gate ``curate_corpus``), so the stages are proven to agree not just
+row-by-row but through their data dependencies (the balance
+thresholds, for instance, are computed over the post-dedup survivor
+set, not the raw corpus).
+
+Stage order is cheap-to-expensive on purpose: the two zero-shuffle
+codegen gates (URL, text quality) run first so the only shuffled
+stages — the fingerprint dedup and the dimension-sized balance agg —
+see survivors only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import text as text_ops
+from . import web as web_ops
+
+__all__ = ["curate_corpus"]
+
+
+def curate_corpus(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    blocked_domains: list[str] | None = None,
+    blocked_path_pattern: str | None = None,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.75,
+    cap_share: float = 0.10,
+    seed: str = "balance-v1",
+) -> DataFrame:
+    """Run the full curation chain and return the surviving rows with
+    the input schema:
+
+    1. :func:`web.url_filter` — registrable-domain blocklist + blocked
+       path pattern (zero shuffle);
+    2. :func:`text.corpus_filter` — lang -> quality -> repetition
+       first-failure gate (zero shuffle);
+    3. exact dedup — one row per normalized-text
+       :func:`text.fingerprint`, keeping the MINIMUM ``id_col``
+       (deterministic, the same keep policy as dedup_fingerprint /
+       connected-components clustering): one map-side-combinable
+       groupBy on the fingerprint + a semi join back on the id;
+    4. :func:`text.balanced_sample` — per-source cap_share
+       downsampling with engine-portable hash membership, thresholds
+       computed over the POST-dedup survivor set.
+
+    Scale posture: stages 1-2 are pure codegen filters; stage 3 is the
+    first shuffle (fingerprint agg + id semi join, both on near-unique
+    keys); stage 4 aggregates a dimension-sized (source) table and
+    broadcasts thresholds — the corpus never shuffles again.
+    """
+    out = web_ops.url_filter(
+        pages,
+        blocked_domains=blocked_domains,
+        blocked_path_pattern=blocked_path_pattern,
+        url_col=url_col,
+    )
+    out = text_ops.corpus_filter(
+        out,
+        text_col=text_col,
+        allowed_langs=allowed_langs,
+        min_quality=min_quality,
+    )
+    out = out.where(F.col("keep")).select(*pages.columns)
+    keep_ids = (
+        out.select(
+            text_ops.fingerprint(F.col(text_col)).alias("_fp"),
+            F.col(id_col),
+        )
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    out = out.join(keep_ids, id_col, "left_semi")
+    return text_ops.balanced_sample(
+        out,
+        cap_share=cap_share,
+        text_col=text_col,
+        source_col=source_col,
+        id_col=id_col,
+        seed=seed,
+    )

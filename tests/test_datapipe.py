@@ -623,3 +623,32 @@ def test_weighted_sample_determinism_and_weight_monotonicity(spark):
     assert [r.doc_id for r in text.weighted_sample(zero, 3, "w").collect()] == [3]
     plan = text.weighted_sample(df, 5, "w")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_curate_corpus_stage_accounting(spark):
+    """Each stage must demonstrably act: the URL gate drops the blocked
+    domain, the text gate drops the French doc, dedup keeps the min-id
+    copy of a duplicated text, and survivors keep the input schema."""
+    from gtfs2lc_spark.datapipe import curate
+
+    good = "the quick brown fox jumps over the lazy dog and runs away fast."
+    rows = [
+        (1, good, "web", "http://ok.org/a"),
+        (2, good + " extra words here now.", "web", "http://blocked.biz/x"),  # url
+        (3, "le chat et le chien sont dans la maison avec les enfants",
+         "web", "http://ok.org/b"),                                          # lang
+        (4, good, "web", "http://ok.org/c"),                                 # dup of 1
+        (5, "the small grey cat sat on the warm mat near the door today.",
+         "books", "http://ok.org/d"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, url string"
+    )
+    out = curate.curate_corpus(
+        pages,
+        blocked_domains=["blocked.biz"],
+        blocked_path_pattern="casino",
+        cap_share=1.0,   # balance stage pass-through (cap >= 1)
+    )
+    assert out.columns == ["doc_id", "text", "source", "url"]
+    assert sorted(r.doc_id for r in out.collect()) == [1, 5]
