@@ -454,6 +454,30 @@ def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+_SHAPE_PREDS = {
+    f"{_LC}departureStop": {"min": 1, "max": 1},
+    f"{_LC}arrivalStop": {"min": 1, "max": 1},
+    f"{_GT}trip": {"min": 1, "max": 1},
+}
+
+
+def _q_kg_shape_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation over a deterministically CORRUPTED copy of
+    the fixture graph: arrivalStop dropped where h32(subj)%5==0
+    ('missing'), gtfs:trip duplicated where %5==1 ('excess') — the
+    conforming rest emits nothing."""
+    tr = sinks.connections_to_triples(_fixture_connections(spark)).select(
+        "subj", "pred", "obj"
+    )
+    h = F.pmod(dedup.portable_hash32(F.col("subj")), F.lit(5))
+    mutated = tr.where(
+        ~((F.col("pred") == f"{_LC}arrivalStop") & (h == 0))
+    ).unionByName(tr.where((F.col("pred") == f"{_GT}trip") & (h == 1)))
+    return kg.validate_shapes(
+        mutated, {f"{_LC}Connection": _SHAPE_PREDS}
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sample without replacement: top-50
     documents by seeded u^(1/n_chars) priority — deterministic
@@ -1016,6 +1040,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _q_url_filter,
         "weighted_sample": _q_weighted_sample,
         "curate_corpus": _q_curate_corpus,
+        "kg_shape_violations": _q_kg_shape_violations,
         "pmi_collocations": _q_pmi_collocations,
         "w1_lag_pairs": _q_w1_lag_pairs,
         "j6_date_explode": _q_j6_date_explode,
@@ -1553,6 +1578,48 @@ WITH f AS (
 SELECT doc_id, (reject_reason = 'pass') AS keep, reject_reason FROM s"""
 
 
+def _sql_kg_shape_violations() -> str:
+    """Mirror of kg.validate_shapes over the corrupted fixture graph:
+    same h32(subj)%5 corruption, VALUES constraint table, per-focus
+    counts, min/max violation CASE."""
+    lc, gt, rdf = _LC, _GT, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    h = _DUCK_H32.format(s="subj")
+    preds_in = ", ".join(f"'{p}'" for p in sorted(_SHAPE_PREDS))
+    cons_vals = ",\n    ".join(
+        f"('{p}', {c['min']}, {c['max']})" for p, c in sorted(_SHAPE_PREDS.items())
+    )
+    return f"""
+WITH tri AS (SELECT subj, pred, obj FROM ({oracle.sql_triples()}) q),
+mut AS (
+  SELECT subj, pred, obj FROM tri
+  WHERE NOT (pred = '{lc}arrivalStop' AND {h} % 5 = 0)
+  UNION ALL
+  SELECT subj, pred, obj FROM tri
+  WHERE pred = '{gt}trip' AND {h} % 5 = 1
+),
+focus AS (
+  SELECT subj AS focus FROM mut
+  WHERE pred = '{rdf}' AND obj = '{lc}Connection'
+),
+cons(c_pred, c_min, c_max) AS (VALUES
+    {cons_vals}),
+counts AS (
+  SELECT subj AS focus, pred AS c_pred, COUNT(*) AS n FROM mut
+  WHERE pred IN ({preds_in}) GROUP BY 1, 2
+),
+scored AS (
+  SELECT f.focus, '{lc}Connection' AS shape_class, c.c_pred AS pred,
+         coalesce(ct.n, 0) AS n,
+         CASE WHEN coalesce(ct.n, 0) < c.c_min THEN 'missing'
+              WHEN c.c_max IS NOT NULL AND coalesce(ct.n, 0) > c.c_max
+                THEN 'excess' END AS violation
+  FROM focus f CROSS JOIN cons c
+  LEFT JOIN counts ct ON ct.focus = f.focus AND ct.c_pred = c.c_pred
+)
+SELECT focus, shape_class, pred, n, violation FROM scored
+WHERE violation IS NOT NULL"""
+
+
 def _sql_curate_corpus(cap_share: float = 0.10) -> str:
     """Mirror of datapipe.curate.curate_corpus over the synthesized
     crawl URLs: URL gate and corpus gate intersected (both are
@@ -1676,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         """,
         "curate_corpus": _sql_curate_corpus(),
+        "kg_shape_violations": _sql_kg_shape_violations(),
         "weighted_sample": f"""
             WITH s AS (
               SELECT doc_id, n_chars,

@@ -47,6 +47,7 @@ __all__ = [
     "transitive_closure",
     "rdfs_infer",
     "canonicalize_triples",
+    "validate_shapes",
 ]
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -764,3 +765,91 @@ def canonicalize_triples(
         )
     )
     return out.distinct()
+
+
+def validate_shapes(
+    triples: DataFrame,
+    shapes: dict[str, dict[str, dict[str, object]]],
+) -> DataFrame:
+    """SHACL-lite shape validation over a (subj, pred, obj) table —
+    the QA step of KG construction: before publishing, assert that
+    every instance of a class carries its required properties with
+    sane cardinalities.  The reference guarantees this by
+    construction (every connection row emits the same triple bundle,
+    lib/Connections2Triples.js:31-99); a web-extracted graph cannot,
+    so violations must be MATERIALIZED, not assumed away.
+
+    ``shapes`` maps a class IRI to property constraints::
+
+        {class_iri: {pred_iri: {"min": 1, "max": 1}, ...}, ...}
+
+    ``min`` (default 0) and ``max`` (default None = unbounded) bound
+    the number of ``pred_iri`` triples per focus node.  Output: one
+    row per (focus, shape_class, pred, n, violation) where violation
+    is ``'missing'`` (n < min) or ``'excess'`` (n > max) — conforming
+    (focus, pred) pairs are not emitted.
+
+    Scale posture: focus nodes come from one pushed-down rdf:type
+    scan; per-focus property counts are ONE map-side-combinable
+    groupBy(subj, pred) over the constrained predicates only (filter
+    pushed to the scan), joined back to focus nodes on subj —
+    co-partitioned hash join, no broadcast assumption (focus sets are
+    fact-sized).  The constraint table itself is rows-in-the-plan
+    (a literal array), never a driver collect.
+    """
+    rows = []
+    for cls, preds in shapes.items():
+        for pred, c in preds.items():
+            rows.append(
+                (
+                    cls,
+                    pred,
+                    int(c.get("min", 0)),
+                    None if c.get("max") is None else int(c["max"]),
+                )
+            )
+    spark = triples.sparkSession
+    constraints = F.broadcast(
+        spark.createDataFrame(
+            rows, "shape_class string, c_pred string, c_min int, c_max int"
+        )
+    )
+    focus = (
+        triples.where(F.col("pred") == RDF_TYPE)
+        .select(F.col("subj").alias("focus"), F.col("obj").alias("shape_class"))
+        .join(
+            F.broadcast(
+                constraints.select("shape_class").distinct()
+            ),
+            "shape_class",
+        )
+    )
+    constrained_preds = sorted({p for preds in shapes.values() for p in preds})
+    counts = (
+        triples.where(F.col("pred").isin(constrained_preds))
+        .groupBy(F.col("subj").alias("focus"), F.col("pred").alias("c_pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_focus = (
+        focus.join(constraints, "shape_class")
+        .join(counts, ["focus", "c_pred"], "left")
+        .select(
+            "focus",
+            "shape_class",
+            F.col("c_pred").alias("pred"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "c_min",
+            "c_max",
+        )
+    )
+    return (
+        per_focus.withColumn(
+            "violation",
+            F.when(F.col("n") < F.col("c_min"), F.lit("missing")).when(
+                F.col("c_max").isNotNull() & (F.col("n") > F.col("c_max")),
+                F.lit("excess"),
+            ),
+        )
+        .where(F.col("violation").isNotNull())
+        .select("focus", "shape_class", "pred", "n", "violation")
+    )

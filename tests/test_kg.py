@@ -569,3 +569,31 @@ def test_rdfs_infer_single_wide_op(spark):
     )
     assert "SortMergeJoin" not in plan
     assert "LeftAnti" not in plan and "left_anti" not in plan
+
+
+def test_validate_shapes_min_max_and_conforming_silence(spark):
+    """missing (n < min), excess (n > max), unbounded max, and a fully
+    conforming focus node that emits nothing; non-focus subjects are
+    never checked."""
+    T = RDF_T
+    tr = spark.createDataFrame(
+        [
+            ("c1", T, "Conn"), ("c1", "dep", "a"),                      # missing arr
+            ("c2", T, "Conn"), ("c2", "dep", "a"), ("c2", "arr", "b"),
+            ("c2", "tag", "x"), ("c2", "tag", "y"), ("c2", "tag", "z"),  # tags unbounded
+            ("c3", T, "Conn"), ("c3", "dep", "a"), ("c3", "dep", "a2"),
+            ("c3", "arr", "b"),                                          # excess dep
+            ("other", "dep", "q"),                                       # not a focus
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = kg.validate_shapes(
+        tr,
+        {"Conn": {"dep": {"min": 1, "max": 1}, "arr": {"min": 1, "max": 1},
+                  "tag": {"min": 0}}},
+    )
+    got = {(r.focus, r.pred): (r.n, r.violation) for r in out.collect()}
+    assert got == {
+        ("c1", "arr"): (0, "missing"),
+        ("c3", "dep"): (2, "excess"),
+    }
