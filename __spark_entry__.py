@@ -424,6 +424,13 @@ def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "url_keep", "url_reject_reason")
 
 
+def _q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-aware perplexity filtering: per-doc mean NLL under the
+    corpus's own add-one bigram LM."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bigram_nll(d)
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation chain end-to-end: URL gate (synthesized
     crawl URLs) -> lang/quality/repetition gate -> exact fingerprint
@@ -1041,6 +1048,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "curate_corpus": _q_curate_corpus,
         "kg_shape_violations": _q_kg_shape_violations,
+        "bigram_nll": _q_bigram_nll,
         "pmi_collocations": _q_pmi_collocations,
         "w1_lag_pairs": _q_w1_lag_pairs,
         "j6_date_explode": _q_j6_date_explode,
@@ -1744,6 +1752,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curate_corpus": _sql_curate_corpus(),
         "kg_shape_violations": _sql_kg_shape_violations(),
+        "bigram_nll": """
+            WITH ws AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 w -> w <> '') AS w
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, w[CAST(i AS INTEGER)] AS w1,
+                     w[CAST(i AS INTEGER) + 1] AS w2, COUNT(*) AS tf
+              FROM ws, UNNEST(range(1, greatest(len(w) - 1, 0) + 1)) AS u(i)
+              GROUP BY 1, 2, 3
+            ), cb AS (
+              SELECT w1, w2, SUM(tf) AS _cb FROM tf GROUP BY 1, 2
+            ), cu AS (
+              SELECT w1, COUNT(*) AS _cu
+              FROM (SELECT unnest(w) AS w1 FROM ws) GROUP BY 1
+            ), v AS (SELECT COUNT(*) AS _v FROM cu)
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+                   round(-SUM(tf.tf * (ln(_cb + 1.0) - ln(_cu + _v)))
+                         / SUM(tf.tf), 6) AS nll
+            FROM tf JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+            GROUP BY 1
+        """,
         "weighted_sample": f"""
             WITH s AS (
               SELECT doc_id, n_chars,

@@ -836,3 +836,77 @@ def weighted_sample(
         .orderBy(F.col("sample_priority").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-one-
+    smoothed BIGRAM language model trained on the corpus itself — the
+    context-aware upgrade of :func:`unigram_nll` (CCNet-style
+    perplexity filtering scores word-order divergence too: shuffled or
+    templated text that fools a unigram model scores high here).
+
+    Model: p(w2 | w1) = (c(w1, w2) + 1) / (c(w1) + V), with c(w1, w2)
+    the corpus bigram count, c(w1) the corpus unigram count, and V the
+    unigram vocabulary size.  nll(d) = -sum over d's bigrams of
+    ln p / n_bigrams(d).  Documents with fewer than two tokens produce
+    no row (no bigram to score).
+
+    Scale shape mirrors unigram_nll: one tokenize + adjacent-pair
+    explode, a (doc, w1, w2) tf aggregation and (w1, w2) / (w1) corpus
+    aggregations — all map-side combinable, so zipfian-hot pairs
+    ("of the") collapse in the partial agg — two equi-joins carrying
+    one row per (doc, distinct bigram), a 1-row broadcast of V, and a
+    final (doc) rollup.  No UDF, nothing wider than one row per
+    (doc, distinct bigram).
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    # sequence(1, 0) counts DOWN — guard short docs explicitly
+    pair_struct = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.struct(
+                F.element_at(words, i).alias("w1"),
+                F.element_at(words, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    tf = (
+        df.select(F.col(id_col), F.explode(pair_struct).alias("_bg"))
+        .select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("_cb"))
+    cu = (
+        df.select(F.explode(words).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    vocab = F.broadcast(cu.agg(F.count(F.lit(1)).alias("_v")))
+    return (
+        tf.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(vocab)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.col("tf")
+                    * (
+                        F.log(F.col("_cb") + F.lit(1.0))
+                        - F.log(F.col("_cu") + F.col("_v"))
+                    )
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("nll"),
+        )
+    )

@@ -652,3 +652,20 @@ def test_curate_corpus_stage_accounting(spark):
     )
     assert out.columns == ["doc_id", "text", "source", "url"]
     assert sorted(r.doc_id for r in out.collect()) == [1, 5]
+
+
+def test_bigram_nll_closed_form_and_short_docs(spark):
+    """Two-doc corpus with hand-computable counts: verify one doc's nll
+    against the closed-form add-one bigram model; a one-token doc
+    yields no row."""
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_bigrams, r.nll) for r in text.bigram_nll(df).collect()}
+    assert set(out) == {1, 2}
+    # corpus: bigrams ab x2 (doc1) + ab, bc (doc2); unigrams a3 b3 c1 x1 -> V=4
+    # doc2: p(b|a) = (3+1)/(3+4), p(c|b) = (1+1)/(3+4)
+    expected = -(math.log(4 / 7) + math.log(2 / 7)) / 2
+    assert out[2][0] == 2
+    assert abs(out[2][1] - round(expected, 6)) < 1e-9
