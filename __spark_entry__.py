@@ -1010,6 +1010,52 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.size("features").cast("long").alias("dim"))
 
 
+def _q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL set-similarity self-join via lossless prefix filtering
+    (AllPairs/PPJoin) — no blocking column; prefix tokens are the rare
+    end of the df-ordered vocabulary, so the candidate join never sees
+    the zipf-hot stopwords."""
+    d = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return dedup.setsim_join(d, threshold=0.8)
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters: Misra-Gries per-partition candidate
+    sketch (O(1/share) memory, vocabulary never shuffles) + exact
+    broadcast-filtered recount."""
+    d = _load(spark, sf_dir, "documents").select("text")
+    return text.heavy_hitters(d, min_share=0.033)
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction with df-bounded lists (stopword-grade
+    terms dropped before any list materializes, so no collect group
+    exceeds max_df rows). Postings stringified for the portable value
+    hash (a1_grouped_sets convention)."""
+    d = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    idx = text.inverted_index(d, max_df=240)
+    return idx.select(
+        "term",
+        "df_count",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias("postings"),
+    )
+
+
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals from the event change log — one
+    lead window per key, epoch-microsecond integer interval bounds."""
+    return dp_events.scd2_intervals(_load(spark, sf_dir, "events"))
+
+
+def _q_event_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (1 h window / 15 min slide) via the native
+    F.window assigner — fixed 4x fan-out inside the scan, then one
+    map-side-combinable hash aggregation."""
+    return dp_events.hopping_stats(
+        _load(spark, sf_dir, "events"), window_seconds=3600, slide_seconds=900
+    )
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1092,6 +1138,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "event_tumbling": _q_event_tumbling,
         "url_canonicalize": _q_url_canonicalize,
+        "setsim_pairs": _q_setsim_pairs,
+        "heavy_hitters": _q_heavy_hitters,
+        "inverted_index": _q_inverted_index,
+        "scd2_intervals": _q_scd2_intervals,
+        "event_hopping": _q_event_hopping,
     }
 
 
@@ -2339,5 +2390,76 @@ def oracle_sql() -> dict[str, str]:
                      || CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canon_url,
                    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
             FROM c5
+        """,
+        "setsim_pairs": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, t AS term
+              FROM documents,
+                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+              WHERE t <> '' AND doc_id < 150
+            ), sz AS (
+              SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM toks a JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8
+        """,
+        "heavy_hitters": """
+            WITH toks AS (
+              SELECT t AS term
+              FROM documents,
+                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+              WHERE t <> ''
+            ), c AS (
+              SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+            ), n AS (
+              SELECT COUNT(*) AS _n FROM toks
+            )
+            SELECT term, cnt, round(CAST(cnt AS DOUBLE) / _n, 6) AS share
+            FROM c CROSS JOIN n
+            WHERE CAST(cnt AS DOUBLE) / _n >= 0.033
+        """,
+        "inverted_index": """
+            WITH td AS (
+              SELECT DISTINCT doc_id, t AS term
+              FROM documents,
+                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+              WHERE t <> '' AND doc_id < 300
+            ), dft AS (
+              SELECT term, COUNT(*) AS df_count FROM td GROUP BY 1
+              HAVING COUNT(*) <= 240
+            )
+            SELECT term, df_count,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM td JOIN dft USING (term)
+            GROUP BY term, df_count
+        """,
+        "scd2_intervals": """
+            SELECT user_id, event_id,
+                   epoch_us(ts) AS valid_from_us,
+                   epoch_us(lead(ts) OVER w) AS valid_to_us,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "event_hopping": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS t_us, event_type, value FROM events
+            ), w AS (
+              SELECT (t_us // 900000000) * 900 - k.k * 900 AS window_start,
+                     event_type, value
+              FROM e, UNNEST([0, 1, 2, 3]) AS k(k)
+            )
+            SELECT window_start, event_type,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 6) AS sum_value
+            FROM w GROUP BY 1, 2
         """,
     }

@@ -421,3 +421,98 @@ def simhash_candidates(
         .distinct()
     )
     return pairs
+
+
+def setsim_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """GLOBAL exact-Jaccard set-similarity self-join via prefix
+    filtering (the AllPairs/PPJoin family, Bayardo et al. WWW'07 /
+    Xiao et al. ICDE'08) — unlike :func:`ngram_jaccard_pairs` this
+    needs NO blocking column and is still never O(n^2).
+
+    Each document's distinct-token set is ordered by ascending global
+    document frequency (rarest first, term ascending as tiebreak so
+    the total order is engine-reproducible); only the first
+    ``p = n - ceil(t*n) + 1`` tokens (the *prefix*) are exploded into
+    the candidate join. Losslessness: if J(a,b) >= t then
+    ``|a ∩ b| >= t*max(|a|,|b|) >= ceil(t*|a|)`` and the smallest
+    (by the global order) intersection token must sit inside BOTH
+    prefixes — if it escaped a's prefix, the whole intersection would
+    fit in a's suffix of ``ceil(t*|a|) - 1`` slots, a contradiction.
+    Candidates are additionally pruned by the symmetric length filter
+    ``min(n_a, n_b) >= ceil(t * max(n_a, n_b))`` before the exact
+    verify.
+
+    Scale shape: one (term)-keyed df aggregation (map-side
+    combinable), one term-keyed equi-join to rank tokens, one
+    (doc)-keyed collect to rebuild the ordered set, then the prefix
+    self-equi-join — prefix tokens are by construction the RARE end
+    of the vocabulary, so the join's build side per key is small
+    (zipf-hot stopwords live in suffixes and never enter the join).
+    Exact verification is per-candidate array algebra (codegen, no
+    shuffle beyond the candidate distinct).
+
+    Output: (id_a, id_b, jaccard) for pairs with jaccard >= threshold,
+    id_a < id_b, jaccard rounded to 6 dp.
+    """
+    t = float(threshold)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("tok"),
+    ).where(F.size("tok") > 0)
+    e = toks.select("id", F.explode("tok").alias("term"))
+    dft = e.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    ranked = (
+        e.join(dft, "term")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("term")))
+            ).alias("ord")
+        )
+        .select(
+            "id",
+            F.transform("ord", lambda s: s["term"]).alias("tok"),
+            F.size("ord").cast("long").alias("n"),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1
+    p = (F.col("n") - F.ceil(F.col("n") * F.lit(t)).cast("long") + F.lit(1))
+    pre = ranked.select(
+        "id", "tok", "n", F.explode(F.slice("tok", 1, p)).alias("pterm")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pterm") == F.col("b.pterm"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= F.ceil(F.greatest(F.col("a.n"), F.col("b.n")) * F.lit(t)).cast("long")
+            ),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.tok").alias("tok_a"),
+            F.col("b.tok").alias("tok_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+    union = F.size(F.array_union("tok_a", "tok_b")).cast("double")
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(t))
+    )

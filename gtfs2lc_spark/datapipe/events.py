@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "tumbling_stats", "asof_join"]
+__all__ = [
+    "sessionize",
+    "session_stats",
+    "tumbling_stats",
+    "asof_join",
+    "scd2_intervals",
+    "hopping_stats",
+]
 
 
 def _micros(c):
@@ -222,4 +229,90 @@ def asof_join(
         F.col("_l.*"),
         F.col("_c._r_ts").alias(f"{ts_col}{suffix}"),
         *[F.col(f"_c.{c}").alias(f"{c}{suffix}") for c in vals],
+    )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Build slowly-changing-dimension type-2 validity intervals from a
+    change log: each event (a new observed version of ``key_col``'s
+    state — a re-crawl of a url, a profile update) is valid from its
+    own timestamp until the NEXT event for the same key; the latest
+    version per key is open-ended and flagged current.
+
+    This is the warehouse step that turns the crawl's append-only
+    snapshot stream into point-in-time queryable history (the interval
+    twin of the as-of join — :func:`asof_join` answers "which version
+    was live at time T" against exactly these intervals).
+
+    Pure window algebra: one ``lead`` over (key, ts, id) — a single
+    key-clustered exchange, no joins, no UDFs. Ties in ``ts`` break on
+    ``id_col`` so interval chaining is deterministic. Timestamps are
+    emitted as epoch MICROSECONDS (bigint) — exact integer arithmetic,
+    engine-portable, no rendering semantics in the compare.
+
+    Output: (key, id, valid_from_us, valid_to_us NULL-for-current,
+    is_current).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return events.select(
+        F.col(key_col),
+        F.col(id_col),
+        _micros(F.col(ts_col)).alias("valid_from_us"),
+        _micros(nxt).alias("valid_to_us"),
+        nxt.isNull().cast("boolean").alias("is_current"),
+    )
+
+
+def hopping_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+    slide_seconds: int = 900,
+) -> DataFrame:
+    """Hopping (sliding) window rollup via the NATIVE ``F.window``
+    assigner with a slide — each event lands in exactly
+    ``window_seconds / slide_seconds`` overlapping windows (the
+    assigner requires the size to be a multiple of the slide here so
+    the fan-out is a fixed small constant, asserted).
+
+    The overlap factor is a *bounded explode inside the scan* (Spark
+    plans it as a generator over the window list), after which the
+    rollup is one map-side-combinable hash aggregation keyed on
+    (window_start, type) — hot windows combine per-task before the
+    exchange exactly like the tumbling path. ``window_start`` is epoch
+    seconds (bigint): integer bucket arithmetic, engine-portable.
+
+    Output: (window_start, type, n_events, sum_value rounded 6 dp).
+    """
+    size, slide = int(window_seconds), int(slide_seconds)
+    if size % slide != 0:
+        raise ValueError(
+            f"window_seconds ({size}) must be a multiple of "
+            f"slide_seconds ({slide}) for the fixed-fan-out hopping shape"
+        )
+    w = F.window(F.col(ts_col), f"{size} seconds", f"{slide} seconds")
+    return (
+        events.groupBy(w.alias("_w"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            (_micros(F.col("_w.start")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("window_start"),
+            type_col,
+            "n_events",
+            "sum_value",
+        )
     )

@@ -910,3 +910,142 @@ def bigram_nll(
             ).alias("nll"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_share: float = 0.01,
+    use_sketch_candidates: bool = True,
+) -> DataFrame:
+    """EXACT corpus heavy hitters: every token whose share of all
+    corpus tokens is >= ``min_share``, with its exact count and share.
+
+    Two passes, Misra-Gries candidate generation + exact recount:
+
+    1. CANDIDATES — each partition streams its tokens through a
+       Misra-Gries summary with ``k = ceil(1/min_share)`` counters
+       (``mapInPandas``; O(k) memory per task regardless of
+       vocabulary size). MG guarantees any token with local count
+       > n_part/(k+1) keeps a counter; a token with GLOBAL share >=
+       min_share must have local share >= min_share in at least one
+       partition (averaging), and min_share > 1/(k+1) by the choice
+       of k, so every true heavy hitter survives somewhere. The union
+       of per-partition candidates (<= k rows each) is collected —
+       tiny by construction — and broadcast.
+    2. RECOUNT — exact map-side-combinable count of ONLY the candidate
+       tokens (broadcast ``isin`` filter pushed into the scan-side
+       projection), then the exact ``cnt/N >= min_share`` cut.
+
+    The recount makes the result exact whatever MG kept extra —
+    correctness never depends on the sketch, only completeness does
+    (and that is the MG guarantee above). This is the shape that
+    survives a vocabulary that does NOT fit in memory: the full
+    (term, count) aggregation — :func:`corpus_token_histogram` — is
+    the simple alternative, but its shuffle carries the whole
+    vocabulary; here the shuffle carries <= k * n_partitions rows.
+    ``use_sketch_candidates=False`` falls back to the full histogram
+    (for the oracle-equivalence pytest).
+
+    Output: (term, cnt, share) with share rounded to 6 dp, only terms
+    with share >= min_share.
+    """
+    toks = df.select(
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("term")
+    )
+    total = F.broadcast(toks.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    if use_sketch_candidates:
+        import math
+
+        import pandas as pd
+
+        k = int(math.ceil(1.0 / float(min_share)))
+
+        def mg_partition(batches):
+            counters: dict[str, int] = {}
+            for pdf in batches:
+                for term in pdf["term"]:
+                    if term in counters:
+                        counters[term] += 1
+                    elif len(counters) < k:
+                        counters[term] = 1
+                    else:
+                        dead = [t for t, c in counters.items() if c == 1]
+                        for t in counters:
+                            counters[t] -= 1
+                        for t in dead:
+                            del counters[t]
+            yield pd.DataFrame({"term": list(counters.keys())})
+
+        cand = [
+            r[0]
+            for r in toks.mapInPandas(mg_partition, "term string")
+            .distinct()
+            .collect()
+        ]
+        counted = (
+            toks.where(F.col("term").isin(cand))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+    else:
+        counted = toks.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+    return (
+        counted.crossJoin(total)
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_n"), 6).alias("share"),
+        )
+        .where(F.col("cnt") / F.col("_n") >= F.lit(float(min_share)))
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 1000,
+) -> DataFrame:
+    """Posting-list construction — the search-index build step over a
+    web corpus: one row per indexed term with its document frequency
+    and the SORTED posting list of doc ids.
+
+    ``max_df`` drops stopword-grade terms (df > max_df) BEFORE any
+    posting list materializes: document frequencies come from a
+    map-side-combinable count aggregation (zipf-hot terms collapse in
+    the partial agg), the filter is applied to that skinny (term, df)
+    table, and only surviving terms flow into the term-keyed
+    ``collect_list`` — so no aggregation group ever holds more than
+    ``max_df`` doc ids and the classic stopword hot-key cannot occur.
+    At production scale the long posting lists you DO want to keep are
+    sharded into fixed-size posting *blocks* ((term, block_no) keys) —
+    the df-bounded single-list form here is the gate-verifiable core.
+
+    Output: (term, df_count, postings) sorted-array postings.
+    """
+    td = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(tokens(F.col(text_col)), lambda x: x != "")
+                )
+            ).alias("term"),
+        )
+    )
+    dft = (
+        td.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_count"))
+        .where(F.col("df_count") <= F.lit(int(max_df)))
+    )
+    return (
+        td.join(dft, "term")
+        .groupBy("term", "df_count")
+        .agg(F.sort_array(F.collect_list("_doc")).alias("postings"))
+        .select("term", "df_count", "postings")
+    )

@@ -1,0 +1,240 @@
+"""Search/index-side operators: prefix-filtered set-similarity join,
+exact Misra-Gries heavy hitters, bounded-posting inverted index, SCD2
+intervals, hopping windows."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+from pyspark.sql import functions as F
+
+from gtfs2lc_spark.datapipe import dedup, text
+from gtfs2lc_spark.datapipe import events as dp_events
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+# ---------------------------------------------------------------- setsim
+
+
+def _brute_pairs(texts, threshold):
+    sets = {
+        i: {t for t in "".join(c if c.isalpha() else " " for c in s.lower()).split() if t}
+        for i, s in enumerate(texts)
+    }
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if round(j, 6) >= threshold:
+            out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_setsim_join_matches_brute_force(spark):
+    """Prefix filtering is LOSSLESS: output == brute-force all-pairs
+    exact Jaccard, on a corpus with shared zipf-hot tokens and rare
+    discriminators."""
+    hot = "the data table row scan"
+    texts = [f"{hot} term{i % 7} extra{i % 3} uniq{i}" for i in range(40)]
+    texts += ["the data table row scan", "the data table row scan",  # identical pair
+              "completely different vocabulary here", ""]
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.setsim_join(_docs(spark, texts), threshold=0.6).collect()
+    }
+    assert got == _brute_pairs(texts, 0.6)
+    assert got  # non-trivial
+    assert (40, 41) in got and got[(40, 41)] == 1.0
+
+
+def test_setsim_join_threshold_cuts(spark):
+    texts = ["a b c d", "a b c e", "a b x y", "p q r s"]
+    # J(0,1) = 3/5 = 0.6; J(0,2) = 2/6 = 0.333; J(0,3) = 0
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.setsim_join(_docs(spark, texts), threshold=0.5).collect()
+    }
+    assert got == {(0, 1): 0.6}
+
+
+def test_setsim_join_no_cartesian(spark):
+    plan = dedup.setsim_join(
+        _docs(spark, ["a b", "a c"]), threshold=0.5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """Vocabulary (200 rare terms) >> MG counter budget (k = 10 at
+    min_share 0.1) — evictions happen, yet the recount keeps the
+    result exact and identical to the sketch-free path."""
+    # 3 hot terms at ~20% each, 200 singleton tail terms spread rows
+    # (tokenizer is alpha-only — suffixes must be letters, not digits)
+    def suf(n):
+        return chr(ord("a") + n // 26) + chr(ord("a") + n % 26)
+
+    hot = ["hotx", "hoty", "hotz"]
+    rows = []
+    for i in range(100):
+        rows.append(f"{hot[i % 3]} tail{suf(2 * i)} tail{suf(2 * i + 1)}")
+    d = _docs(spark, rows).repartition(8)
+    with_sketch = {
+        (r["term"], r["cnt"], r["share"])
+        for r in text.heavy_hitters(d, min_share=0.1).collect()
+    }
+    no_sketch = {
+        (r["term"], r["cnt"], r["share"])
+        for r in text.heavy_hitters(
+            d, min_share=0.1, use_sketch_candidates=False
+        ).collect()
+    }
+    assert with_sketch == no_sketch
+    # 300 tokens total: hotx 34, hoty 33, hotz 33 -> shares > 0.1
+    assert {t for t, _, _ in with_sketch} == {"hotx", "hoty", "hotz"}
+    assert dict((t, c) for t, c, _ in with_sketch) == {
+        "hotx": 34, "hoty": 33, "hotz": 33,
+    }
+
+
+def test_heavy_hitters_empty_below_threshold(spark):
+    d = _docs(spark, ["a b c d e f g h i j"])
+    assert text.heavy_hitters(d, min_share=0.2).count() == 0
+
+
+# --------------------------------------------------------- inverted index
+
+
+def test_inverted_index_postings_sorted_and_bounded(spark):
+    texts = [
+        "stop the apple",    # 0
+        "the apple pie",     # 1
+        "the zebra",         # 2
+        "apple apple apple", # 3 (dup tokens -> one posting)
+    ]
+    idx = {
+        r["term"]: (r["df_count"], r["postings"])
+        for r in text.inverted_index(_docs(spark, texts), max_df=3).collect()
+    }
+    assert idx["the"] == (3, [0, 1, 2])   # df == max_df stays
+    assert idx["apple"] == (3, [0, 1, 3])  # dup tokens in doc 3 -> one posting
+    idx_all = {
+        r["term"]: (r["df_count"], r["postings"])
+        for r in text.inverted_index(_docs(spark, texts), max_df=2).collect()
+    }
+    assert idx_all.get("apple") is None  # df 3 > 2 dropped
+    assert idx_all["stop"] == (1, [0])
+    assert idx_all["zebra"] == (1, [2])
+    assert idx_all["pie"] == (1, [1])
+
+
+def test_inverted_index_exact_small(spark):
+    texts = ["b a", "a c", "c a b"]
+    idx = {
+        r["term"]: (r["df_count"], r["postings"])
+        for r in text.inverted_index(_docs(spark, texts), max_df=10).collect()
+    }
+    assert idx == {
+        "a": (3, [0, 1, 2]),
+        "b": (2, [0, 2]),
+        "c": (2, [1, 2]),
+    }
+
+
+# ------------------------------------------------------------------ scd2
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime.fromisoformat(t), u) for i, t, u in rows],
+        "event_id bigint, ts timestamp_ntz, user_id bigint",
+    )
+
+
+def test_scd2_interval_chaining(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "2026-01-01T00:00:00", 7),
+            (2, "2026-01-01T01:00:00", 7),
+            (3, "2026-01-01T02:00:00", 7),
+            (9, "2026-01-05T00:00:00", 8),
+        ],
+    )
+    got = {
+        r["event_id"]: (r["valid_from_us"], r["valid_to_us"], r["is_current"])
+        for r in dp_events.scd2_intervals(ev).collect()
+    }
+    base = int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    hour = 3_600_000_000
+    assert got[1] == (base, base + hour, False)
+    assert got[2] == (base + hour, base + 2 * hour, False)
+    assert got[3] == (base + 2 * hour, None, True)
+    assert got[9][1] is None and got[9][2] is True
+    # intervals tile: every non-current valid_to == successor valid_from
+    assert got[1][1] == got[2][0] and got[2][1] == got[3][0]
+
+
+def test_scd2_equal_ts_ties_break_on_event_id(spark):
+    ev = _events(
+        spark,
+        [(2, "2026-01-01T00:00:00", 1), (1, "2026-01-01T00:00:00", 1)],
+    )
+    got = {
+        r["event_id"]: r["is_current"]
+        for r in dp_events.scd2_intervals(ev).collect()
+    }
+    assert got == {1: False, 2: True}
+
+
+# --------------------------------------------------------------- hopping
+
+
+def test_hopping_stats_fanout_and_boundaries(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2026, 1, 1, 0, 59, 59), "a", 1.0),
+            (2, dt.datetime(2026, 1, 1, 1, 0, 0), "a", 10.0),
+        ],
+        "event_id bigint, ts timestamp_ntz, event_type string, value double",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in dp_events.hopping_stats(
+            ev, window_seconds=3600, slide_seconds=900
+        ).collect()
+    }
+    t1 = int(dt.datetime(2026, 1, 1, 0, 59, 59, tzinfo=dt.timezone.utc).timestamp())
+    t2 = int(dt.datetime(2026, 1, 1, 1, 0, 0, tzinfo=dt.timezone.utc).timestamp())
+    # each event lands in exactly 4 windows
+    assert sum(n for n, _ in got.values()) == 8
+    # event 1's latest window starts at its own 900 s bucket
+    hi1 = (t1 // 900) * 900
+    assert (hi1, "a") in got
+    # boundary: event 2 at exactly 01:00 is NOT in the [00:00, 01:00) window
+    assert got[(t2 - 3600, "a")] == (1, 1.0)  # only event 1
+    # both events share the 3 overlapping windows starting 00:15/00:30/00:45
+    for k in range(1, 4):
+        assert got[(t2 - 3600 + 900 * k, "a")][0] == 2
+
+
+def test_hopping_stats_rejects_non_multiple_slide(spark):
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1), "a", 1.0)],
+        "event_id bigint, ts timestamp_ntz, event_type string, value double",
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        dp_events.hopping_stats(ev, window_seconds=3600, slide_seconds=1000)
