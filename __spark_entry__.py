@@ -1056,6 +1056,19 @@ def _q_event_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH index against exact brute force on the same
+    query set — the measured justification for the bucket settings
+    (the 'measure, don't guess' eval; at scale the exact side runs on
+    a query sample while the index serves everything)."""
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    dim = len(e.select("embedding").first()[0])
+    exact = similarity.brute_force_topk(e, q, k=3)
+    approx = similarity.lsh_topk(e, q, dim=dim, k=3, n_planes=8)
+    return similarity.topk_recall(exact, approx, k=3)
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1143,6 +1156,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "scd2_intervals": _q_scd2_intervals,
         "event_hopping": _q_event_hopping,
+        "ann_recall": _q_ann_recall,
     }
 
 
@@ -1319,6 +1333,55 @@ def _sql_ann_lsh_topk(k: int = 3, n_planes: int = 8, seed: int = 7, dim: int = 6
           FROM scored
         )
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _sql_ann_recall(k: int = 3, n_planes: int = 8, seed: int = 7, dim: int = 64) -> str:
+    """Recall@k of lsh_topk vs brute_force_topk — composition of the two
+    ANN oracles: exact side drives, hits counted via (query, neighbor)
+    semi-join semantics."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    bucket = _duck_bucket("embedding", planes)
+    return f"""
+        WITH exact0 AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            round({_DUCK_COS.format(a='q.embedding', b='c.embedding')}, 6) AS cosine
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 20
+        ), exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM exact0
+          ) WHERE rank <= {k}
+        ), cb AS (
+          SELECT vec_id AS neighbor_id, embedding AS cvec, {bucket} AS bucket
+          FROM embeddings
+        ), qb AS (
+          SELECT vec_id AS query_id, embedding AS qvec, {bucket} AS bucket
+          FROM embeddings WHERE vec_id < 20
+        ), approx0 AS (
+          SELECT query_id, neighbor_id,
+                 round({_DUCK_COS.format(a='qvec', b='cvec')}, 6) AS cosine
+          FROM qb JOIN cb USING (bucket)
+          WHERE query_id <> neighbor_id
+        ), approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM approx0
+          ) WHERE rank <= {k}
+        ), hits AS (
+          SELECT e.query_id, COUNT(*) AS n_hits
+          FROM exact e JOIN approx a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY 1
+        )
+        SELECT q.query_id,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               round(COALESCE(h.n_hits, 0) / {float(k)}, 6) AS recall
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN hits h USING (query_id)
     """
 
 
@@ -2055,6 +2118,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _sql_dedup_clusters(),
         "simhash_candidates": _sql_simhash_candidates(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "ann_recall": _sql_ann_recall(),
         "multimodal_features": """
             SELECT doc_id,
                    round(CAST(('0x' || substr(sha256(text), 1, 2))::BIGINT AS DOUBLE)

@@ -352,3 +352,47 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Recall@k of an approximate neighbor list against the exact one —
+    the evaluation harness that justifies an ANN index's bucket/probe
+    settings with a NUMBER instead of a guess (pair with
+    :func:`brute_force_topk` as ground truth on a sampled query set;
+    at 100 TB the exact side runs on the sample only, so the eval is
+    cheap while the index serves the full corpus).
+
+    Both inputs are (query_id, neighbor_id, ...) frames with <= k rows
+    per query (the contract of the topk operators here). Per query:
+    ``n_hits`` = |approx ∩ exact| via a (query, neighbor)-keyed
+    left-semi join, ``recall`` = n_hits / k rounded to 6 dp. Queries
+    whose approximate list missed everything still emit a row (recall
+    0) — the exact side is the driving set.
+
+    Scale shape: both sides are k rows per query; the semi join and
+    both aggregations are keyed on query_id (map-side combinable,
+    no skew — per-key cardinality is exactly k).
+    """
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        e.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )

@@ -238,3 +238,24 @@ def test_hopping_stats_rejects_non_multiple_slide(spark):
 
     with pytest.raises(ValueError):
         dp_events.hopping_stats(ev, window_seconds=3600, slide_seconds=1000)
+
+
+# ------------------------------------------------------------- ann recall
+
+
+def test_topk_recall_counts_hits_and_keeps_empty_queries(spark):
+    from gtfs2lc_spark.datapipe import similarity
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    approx = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99), (2, 77), (2, 78), (2, 79)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall"])
+        for r in similarity.topk_recall(exact, approx, k=3).collect()
+    }
+    assert got == {1: (2, 0.666667), 2: (0, 0.0)}
