@@ -1069,6 +1069,17 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_recall(exact, approx, k=3)
 
 
+def _q_fp_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level benchmark contamination: winnowing-fingerprint
+    containment of eval items (doc_id % 100 == 7, same eval-set gate
+    convention as ngram_contamination) in corpus documents."""
+    d = _load(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return text.fingerprint_containment(d, bench, hash_fn="md5")
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1157,6 +1168,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": _q_scd2_intervals,
         "event_hopping": _q_event_hopping,
         "ann_recall": _q_ann_recall,
+        "fp_containment": _q_fp_containment,
     }
 
 
@@ -2119,6 +2131,31 @@ def oracle_sql() -> dict[str, str]:
         "simhash_candidates": _sql_simhash_candidates(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_recall": _sql_ann_recall(),
+        "fp_containment": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       list_transform(
+                         range(1, greatest(length(text) - 16 + 1, 0) + 1),
+                         i -> {_DUCK_H32.format(s="substr(text, CAST(i AS INTEGER), 16)")}),
+                       h -> h % 8 = 0)) AS fp
+              FROM documents
+              WHERE length(text) >= 16
+            ), dfp AS (
+              SELECT DISTINCT doc_id, fp FROM raw
+            ), bfp AS (
+              SELECT DISTINCT doc_id AS bench_id, fp FROM raw WHERE doc_id % 100 = 7
+            ), bsz AS (
+              SELECT bench_id, COUNT(*) AS n_bench FROM bfp GROUP BY 1
+            ), sh AS (
+              SELECT d.doc_id, b.bench_id, COUNT(*) AS n_shared
+              FROM dfp d JOIN bfp b USING (fp) GROUP BY 1, 2
+            )
+            SELECT doc_id, bench_id, n_shared,
+                   round(CAST(n_shared AS DOUBLE) / n_bench, 6) AS containment
+            FROM sh JOIN bsz USING (bench_id)
+            WHERE n_shared >= 1
+        """,
         "multimodal_features": """
             SELECT doc_id,
                    round(CAST(('0x' || substr(sha256(text), 1, 2))::BIGINT AS DOUBLE)

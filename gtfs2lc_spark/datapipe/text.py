@@ -1049,3 +1049,61 @@ def inverted_index(
         .agg(F.sort_array(F.collect_list("_doc")).alias("postings"))
         .select("term", "df_count", "postings")
     )
+
+
+def fingerprint_containment(
+    df: DataFrame,
+    benchmark: DataFrame,
+    window: int = 16,
+    keep_mod: int = 8,
+    hash_fn: str = "xxhash64",
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Character-level contamination via winnowing-fingerprint
+    containment — the complement of :func:`ngram_contamination`: word
+    n-grams miss leakage that survives tokenization changes (casing,
+    punctuation, whitespace edits), while character-shingle sketches
+    catch near-verbatim passages. For each (corpus doc, benchmark
+    item) pair that shares >= ``min_shared`` distinct fingerprints,
+    emits the shared count and the containment fraction
+    ``n_shared / |benchmark fingerprints|`` (Broder containment,
+    estimated through the winnowing sample).
+
+    Scale shape identical to ngram_contamination: both sides reduce to
+    distinct (id, fp) rows, the benchmark side is BROADCAST (eval sets
+    are tiny next to the corpus), the join is a broadcast hash join on
+    the fingerprint, and the (doc, bench) count aggregates map-side.
+    Corpus docs sharing nothing never leave their scan partition.
+    """
+    fps = rolling_fingerprints(
+        F.col(text_col), window=window, keep_mod=keep_mod, hash_fn=hash_fn
+    )
+    d = df.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
+    )
+    bfps = rolling_fingerprints(
+        F.col(bench_text_col), window=window, keep_mod=keep_mod, hash_fn=hash_fn
+    )
+    b = benchmark.select(
+        F.col(bench_id_col), F.explode(F.array_distinct(bfps)).alias("fp")
+    )
+    b_sizes = b.groupBy(bench_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_bench")
+    )
+    return (
+        d.join(F.broadcast(b), "fp")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+        .join(F.broadcast(b_sizes), bench_id_col)
+        .select(
+            id_col,
+            bench_id_col,
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("_n_bench"), 6).alias("containment"),
+        )
+    )

@@ -1,0 +1,112 @@
+"""Physical data layout for the 100-TB corpus: bucketed tables for
+shuffle-free co-located joins, and partitioned layouts whose partition
+columns Catalyst prunes at the scan.
+
+Why this module exists: at 10^12 documents every repeated join against
+the corpus (dedup-pair verification, entity-link backfills, triple
+re-canonicalization) pays a full shuffle of the fact table UNLESS the
+table is written pre-clustered on the join key. Spark's first-class
+answer is bucketing (`DataFrameWriter.bucketBy` + `saveAsTable`): both
+sides hash-clustered into the same number of buckets on the same key
+join with ZERO Exchange — the SortMergeJoin reads co-located buckets
+directly. Partitioned layouts (`partitionBy`) solve the orthogonal
+problem: low-cardinality filter columns (lang, source, crawl date)
+become directory keys the scan prunes without reading a footer.
+
+Both are plain public Spark APIs; the helpers here pin the repo's
+conventions (bucket counts, overwrite semantics) and give the plan
+tests one place to assert the no-Exchange / pruned-scan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-clustered)
+    managed table. Joins/aggregations between tables bucketed on the
+    same key with the same ``n_buckets`` need NO shuffle — assert with
+    :func:`assert_no_exchange_join` (done in tests/test_layout.py).
+
+    ``n_buckets`` is the parallelism floor for every downstream
+    bucket-local op: at 100 TB pick buckets so one bucket's worth of
+    the BIGGER table fits an executor's shuffle memory (e.g. 4096 for
+    a 10^12-row corpus), and keep it a multiple of the cluster's task
+    slots so no wave runs ragged.
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).bucketBy(n_buckets, *cols)
+    if sort_cols:
+        s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*s)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str] | str,
+    how: str = "inner",
+    force_merge: bool = True,
+) -> DataFrame:
+    """Join two same-key same-bucket-count tables. The plan this
+    produces must contain no Exchange above either scan (the bucketing
+    IS the exchange, paid once at write time and amortized over every
+    subsequent join) — SortMergeJoin over pre-clustered buckets.
+
+    ``force_merge`` pins the SMJ strategy: bucketed tables exist
+    because BOTH sides are fact-sized, but on small test data the
+    optimizer would otherwise pick a broadcast join (whose
+    BroadcastExchange defeats the no-shuffle contract being asserted).
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    left = spark.table(left_table)
+    if force_merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), on_cols, how)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | str,
+    mode: str = "overwrite",
+) -> None:
+    """Write a directory-partitioned parquet layout. Filters on
+    ``partition_cols`` become PartitionFilters at the scan — pruned
+    from the file listing, zero bytes read for excluded partitions.
+    Keep partition columns LOW cardinality (lang, source, crawl day):
+    every distinct value is a directory, and 10^6 tiny directories is
+    its own scale bug.
+    """
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def scan_is_pruned(df: DataFrame, partition_col: str) -> bool:
+    """True when ``df``'s physical plan shows a PartitionFilters entry
+    on ``partition_col`` — i.e. the filter prunes directories instead
+    of reading rows."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line and partition_col in line.split(
+            "PartitionFilters", 1
+        )[1].split("]", 1)[0]:
+            return True
+    return False
+
+
+def join_has_no_exchange(df: DataFrame) -> bool:
+    """True when the physical plan contains no Exchange (shuffle) —
+    the bucketed-join success criterion."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" not in plan

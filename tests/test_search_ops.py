@@ -259,3 +259,29 @@ def test_topk_recall_counts_hits_and_keeps_empty_queries(spark):
         for r in similarity.topk_recall(exact, approx, k=3).collect()
     }
     assert got == {1: (2, 0.666667), 2: (0, 0.0)}
+
+
+# ----------------------------------------------------- fp containment
+
+
+def test_fingerprint_containment_self_and_disjoint(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [
+        shared,                                    # 0: identical to bench
+        "prefix words here " + shared + " suffix", # 1: contains bench
+        "zzz qqq vvv completely unrelated content with no overlap at all",  # 2
+    ]
+    d = _docs(spark, texts)
+    bench = d.where(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): (r["n_shared"], r["containment"])
+        for r in text.fingerprint_containment(d, bench, hash_fn="md5").collect()
+    }
+    # doc 0 IS the benchmark: full containment
+    assert got[(0, 0)][1] == 1.0
+    # doc 1 contains every benchmark shingle: containment 1.0 too
+    assert got[(1, 0)][1] == 1.0
+    # doc 2 shares nothing -> no row
+    assert (2, 0) not in got
