@@ -1080,6 +1080,25 @@ def _q_fp_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint_containment(d, bench, hash_fn="md5")
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch corpus dedup through the REAL fingerprint history
+    store (snapshot dirs + commit marker): batch 1 (even doc_ids) is
+    committed, then batch 2 (odd doc_ids) deduplicates against it —
+    within-batch min-id winners, cross-batch anti-join losers."""
+    import tempfile
+
+    from gtfs2lc_spark.datapipe import incremental
+
+    d = _load(spark, sf_dir, "documents")
+    store = incremental.CorpusDedupStore(
+        spark, tempfile.mkdtemp(prefix="corpusdedup-gate-")
+    )
+    s1 = incremental.dedupe_batch(d.where(F.col("doc_id") % 2 == 0), store)
+    incremental.commit_batch(s1, store, snapshot_id=0)
+    s2 = incremental.dedupe_batch(d.where(F.col("doc_id") % 2 == 1), store)
+    return s2.select("doc_id", "fp")
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1169,6 +1188,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hopping": _q_event_hopping,
         "ann_recall": _q_ann_recall,
         "fp_containment": _q_fp_containment,
+        "incremental_dedup": _q_incremental_dedup,
     }
 
 
@@ -2053,6 +2073,20 @@ def oracle_sql() -> dict[str, str]:
                    WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
                    ELSE 'de' END AS lang_guess
             FROM h
+        """,
+        "incremental_dedup": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents
+            ), b1 AS (
+              SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0
+            ), b2w AS (
+              SELECT fp, MIN(doc_id) AS doc_id
+              FROM f WHERE doc_id % 2 = 1 GROUP BY 1
+            )
+            SELECT doc_id, fp FROM b2w
+            WHERE fp NOT IN (SELECT fp FROM b1)
         """,
         "dedup_fingerprint": """
             SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,

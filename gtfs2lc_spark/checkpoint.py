@@ -47,16 +47,33 @@ class SnapshotInfo:
 
 
 class HistoryStore:
-    """Parquet-backed append-only history of emitted
-    (feed_id, unique_id, service_date) pairs."""
+    """Parquet-backed append-only history of emitted key tuples —
+    (feed_id, unique_id, service_date) for the J7 connection history
+    by default; ``key_cols`` generalizes the same snapshot/commit-
+    marker/compaction protocol to any dedup key (e.g. a document
+    fingerprint for cross-batch corpus dedup, datapipe/incremental.py).
+    """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: tuple[str, ...] = PAIR_COLS,
+    ):
         self.spark = spark
         self.path = path
+        self.key_cols = tuple(key_cols)
 
     # -- snapshot bookkeeping -------------------------------------------------
 
     MARKER = "_compaction.json"
+
+    @property
+    def _stat_key(self) -> str:
+        """Column the per-partition lineage min/max stats range over
+        (the 'business key' — unique_id for the connection history,
+        the sole key otherwise)."""
+        return self.key_cols[1] if len(self.key_cols) > 1 else self.key_cols[0]
 
     def _compaction(self) -> dict | None:
         """The current compaction marker, or None. The marker is the
@@ -124,7 +141,7 @@ class HistoryStore:
         paths += [os.path.join(self.path, f"snapshot={s}") for s in snaps]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths).select(*PAIR_COLS)
+        return self.spark.read.parquet(*paths).select(*self.key_cols)
 
     # -- the J7 operators ------------------------------------------------------
 
@@ -142,7 +159,7 @@ class HistoryStore:
         hist = self.load(before_snapshot)
         if hist is None:
             return connections
-        return connections.join(hist, list(PAIR_COLS), "left_anti")
+        return connections.join(hist, list(self.key_cols), "left_anti")
 
     def commit(
         self,
@@ -170,7 +187,7 @@ class HistoryStore:
                 )
             sid = snapshot_id
         snap_dir = os.path.join(self.path, f"snapshot={sid}")
-        pairs = new_pairs.select(*PAIR_COLS).distinct()
+        pairs = new_pairs.select(*self.key_cols).distinct()
         pairs.write.mode("overwrite").parquet(snap_dir)
 
         part_stats = (
@@ -179,9 +196,9 @@ class HistoryStore:
             .groupBy("_pid")
             .agg(
                 F.count(F.lit(1)).alias("rows"),
-                F.min("unique_id").alias("min_key"),
-                F.max("unique_id").alias("max_key"),
-                F.countDistinct("feed_id").alias("n_feeds"),
+                F.min(self._stat_key).alias("min_key"),
+                F.max(self._stat_key).alias("max_key"),
+                F.countDistinct(self.key_cols[0]).alias("n_feeds"),
             )
             .collect()
         )
