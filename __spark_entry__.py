@@ -1099,6 +1099,48 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s2.select("doc_id", "fp")
 
 
+def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style text normalization over deterministically dirtied text
+    (control chars + whitespace runs injected identically in both
+    engines); md5 of the cleaned text is the byte-level compare
+    (pii_scrub convention)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = F.concat(
+        F.lit("\tpre\x01fix  "), F.col("text"),
+        F.lit("  tail\x07\x0b line\x1f end \x7f "),
+    )
+    return d.select(
+        "doc_id", F.md5(text.normalize_text(dirty)).alias("clean_md5")
+    )
+
+
+def _q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional corpus composition rollup: CUBE(lang, source)
+    with an explicit grouping id — one pass, partial aggregation per
+    grouping set, no per-set rescans."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            # grouping() only resolves inside the Aggregate itself
+            (F.grouping("lang") * 2 + F.grouping("source"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "sum_chars")
+    )
+
+
+def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 4 portable-hash
+    negatives per document, self-pairs shifted — bit-reproducible
+    across engines/shards, zero shuffles."""
+    d = _load(spark, sf_dir, "documents")
+    return text.negative_samples(d, k=4)
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1189,6 +1231,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "fp_containment": _q_fp_containment,
         "incremental_dedup": _q_incremental_dedup,
+        "clean_text": _q_clean_text,
+        "corpus_cube": _q_corpus_cube,
+        "negative_samples": _q_negative_samples,
     }
 
 
@@ -2087,6 +2132,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, fp FROM b2w
             WHERE fp NOT IN (SELECT fp FROM b1)
+        """,
+        "clean_text": """
+            WITH dirty AS (
+              SELECT doc_id,
+                     chr(9) || 'pre' || chr(1) || 'fix  ' || text ||
+                     '  tail' || chr(7) || chr(11) || ' line' || chr(31) ||
+                     ' end ' || chr(127) || ' ' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(trim(regexp_replace(
+                     regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                     '\\s+', ' ', 'g'))) AS clean_md5
+            FROM dirty
+        """,
+        "corpus_cube": """
+            SELECT lang, source,
+                   CAST(2 * GROUPING(lang) + GROUPING(source) AS BIGINT) AS gid,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY CUBE (lang, source)
+        """,
+        "negative_samples": """
+            WITH n AS (SELECT COUNT(*) AS _n FROM documents),
+            fan AS (
+              SELECT doc_id, _n, k.k AS sample_idx
+              FROM documents CROSS JOIN n, UNNEST([0, 1, 2, 3]) AS k(k)
+            ), h AS (
+              SELECT doc_id, sample_idx, _n,
+                ('0x' || substr(md5('negs:' || doc_id || ':' || sample_idx), 1, 15))::BIGINT % _n AS raw
+              FROM fan
+            )
+            SELECT doc_id, sample_idx,
+                   CASE WHEN raw = doc_id THEN (raw + 1) % _n ELSE raw END AS neg_id
+            FROM h
         """,
         "dedup_fingerprint": """
             SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,

@@ -1107,3 +1107,78 @@ def fingerprint_containment(
             F.round(F.col("n_shared") / F.col("_n_bench"), 6).alias("containment"),
         )
     )
+
+
+def normalize_text(text_col: Column) -> Column:
+    """C4-style text cleanup: strip ASCII control characters, collapse
+    whitespace runs to single spaces, trim. Pure chained
+    ``regexp_replace`` (whole-stage codegen, zero shuffle); patterns
+    sit in the Java-regex ∩ RE2 subset so the DuckDB oracle replays
+    them byte-identically. Unicode-category scrubbing (Cf/Co/Cs) is a
+    corpus-specific layer on top — kept out of the portable core."""
+    no_ctl = F.regexp_replace(
+        text_col, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
+    )
+    return F.trim(F.regexp_replace(no_ctl, r"\s+", " "))
+
+
+def clean_corpus(
+    df: DataFrame, text_col: str = "text", keep_original: bool = False
+) -> DataFrame:
+    """Apply :func:`normalize_text` in place (schema preserved;
+    ``keep_original`` adds ``<text_col>_raw``)."""
+    cols = []
+    for c in df.columns:
+        if c == text_col:
+            if keep_original:
+                cols.append(F.col(c).alias(f"{c}_raw"))
+            cols.append(normalize_text(F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def negative_samples(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    seed: str = "negs",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for each document, ``k`` pseudo-random other documents drawn by an
+    engine-portable seeded hash over (id, sample index) — reproducible
+    across runs, shards and engines (no RNG state, unlike
+    ``df.sample``), so a training run can be bit-replayed.
+
+    Requires DENSE ids 0..N-1 (the corpus contract here; a production
+    corpus first materializes a dense row index — dense_index in
+    sinks.py is exactly that operator). Accidental self-pairs shift to
+    the next id mod N. The fan-out is a bounded in-scan explode (k
+    rows per doc), N is one broadcast scalar, nothing shuffles.
+
+    Output: (id, sample_idx, neg_id).
+    """
+    from .dedup import portable_hash60
+
+    n = F.broadcast(df.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    fan = df.select(F.col(id_col)).crossJoin(n).select(
+        id_col,
+        "_n",
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("sample_idx"),
+    )
+    h = portable_hash60(
+        F.concat(
+            F.lit(seed), F.lit(":"),
+            F.col(id_col).cast("string"), F.lit(":"),
+            F.col("sample_idx").cast("string"),
+        )
+    )
+    raw = F.pmod(h, F.col("_n"))
+    return fan.select(
+        id_col,
+        F.col("sample_idx").cast("long").alias("sample_idx"),
+        F.when(raw == F.col(id_col), F.pmod(raw + 1, F.col("_n")))
+        .otherwise(raw)
+        .cast("long")
+        .alias("neg_id"),
+    )

@@ -285,3 +285,48 @@ def test_fingerprint_containment_self_and_disjoint(spark):
     assert got[(1, 0)][1] == 1.0
     # doc 2 shares nothing -> no row
     assert (2, 0) not in got
+
+
+# ------------------------------------------------- normalize / negatives
+
+
+def test_normalize_text_closed_form(spark):
+    d = spark.createDataFrame(
+        [(1, "\x01a\tb\x07  c\x7f \n d ")], "doc_id bigint, text string"
+    )
+    got = text.clean_corpus(d, keep_original=True).collect()[0]
+    assert got["text"] == "a b c d"
+    assert got["text_raw"] == "\x01a\tb\x07  c\x7f \n d "
+
+
+def test_negative_samples_contract(spark):
+    d = _docs(spark, [f"doc {i}" for i in range(10)])
+    rows = text.negative_samples(d, k=3).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 0 <= r["neg_id"] < 10
+        assert r["neg_id"] != r["doc_id"]  # self-pairs shifted
+    # deterministic: identical on re-evaluation
+    again = text.negative_samples(d, k=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_corpus_cube_gid_semantics(spark):
+    d = spark.createDataFrame(
+        [(1, "en", "a", 5), (2, "en", "b", 7), (3, "de", "a", 11)],
+        "doc_id bigint, lang string, source string, n_chars bigint",
+    )
+    cube = (
+        d.cube("lang", "source")
+        .agg(
+            (F.grouping("lang") * 2 + F.grouping("source"))
+            .cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()
+    )
+    got = {(r["lang"], r["source"], r["gid"]): r["n"] for r in cube}
+    assert got[(None, None, 3)] == 3      # grand total
+    assert got[("en", None, 1)] == 2      # lang subtotal
+    assert got[(None, "a", 2)] == 2       # source subtotal
+    assert got[("de", "a", 0)] == 1       # leaf
