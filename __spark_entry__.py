@@ -1141,6 +1141,23 @@ def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.negative_samples(d, k=4)
 
 
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: staged user-keyed
+    min-aggregations, strictly-after semantics, NULL from the first
+    missed step."""
+    return dp_events.funnel_times(
+        _load(spark, sf_dir, "events"), steps=("view", "click", "purchase")
+    )
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention triangle: first-activity cohort x return-period
+    offset x distinct users, integer epoch-day buckets."""
+    return dp_events.retention_cohorts(
+        _load(spark, sf_dir, "events"), period_seconds=86400
+    )
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1234,6 +1251,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": _q_clean_text,
         "corpus_cube": _q_corpus_cube,
         "negative_samples": _q_negative_samples,
+        "event_funnel": _q_event_funnel,
+        "retention_cohorts": _q_retention_cohorts,
     }
 
 
@@ -2168,6 +2187,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sample_idx,
                    CASE WHEN raw = doc_id THEN (raw + 1) % _n ELSE raw END AS neg_id
             FROM h
+        """,
+        "event_funnel": """
+            WITH s0 AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            ), s1 AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+              FROM events e JOIN s0 USING (user_id)
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t_view
+              GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t_click
+              GROUP BY 1
+            )
+            SELECT s0.user_id, s0.t_view, s1.t_click, s2.t_purchase
+            FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        """,
+        "retention_cohorts": """
+            WITH per AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS p FROM events
+            ), first AS (
+              SELECT user_id, MIN(p) AS cohort_period FROM per GROUP BY 1
+            ), active AS (
+              SELECT DISTINCT user_id, p FROM per
+            )
+            SELECT cohort_period, p - cohort_period AS period_offset,
+                   COUNT(*) AS n_users
+            FROM active JOIN first USING (user_id)
+            GROUP BY 1, 2
         """,
         "dedup_fingerprint": """
             SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,

@@ -316,3 +316,80 @@ def hopping_stats(
             "sum_value",
         )
     )
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for every user who performed
+    ``steps[0]``, the earliest time of each subsequent step STRICTLY
+    after the previous step's time (the classic product funnel — here
+    it audits the crawl/ingest event exhaust the same way: fetch ->
+    parse -> emit). Emits one row per step-0 user with epoch-microsecond
+    times, NULL from the first step the user never completed.
+
+    Scale shape: one staged min-aggregation per step — each stage
+    filters the fact table by type (predicate pushed to the scan),
+    equi-joins the previous stage's (user, t) frame on the user key,
+    and min-aggregates map-side. Every stage clusters on ``user_col``,
+    so the per-stage exchanges are the same partitioning end to end;
+    no windows, no per-user event collection (a bot user with 10^8
+    events costs its aggregation only).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    t0 = f"t_{steps[0]}"
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(_micros(F.col(ts_col))).alias(t0))
+    )
+    prev = t0
+    for step in steps[1:]:
+        tn = f"t_{step}"
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .select(F.col(user_col), _micros(F.col(ts_col)).alias("_t"))
+            .join(cur.select(user_col, prev), user_col)
+            .where(F.col("_t") > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min("_t").alias(tn))
+        )
+        cur = cur.join(nxt, user_col, "left")
+        prev = tn
+    return cur
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 86400,
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity period
+    (cohort), counted once per later period they return in. Output
+    (cohort_period, period_offset, n_users) — the classic retention
+    triangle, period buckets as integer epoch divisions (engine-exact).
+
+    Scale shape: first-activity is one map-side-combinable min per
+    user; activity periods deduplicate map-side as distinct
+    (user, period); the user-keyed equi-join clusters both on the same
+    key; the final count expands on (cohort, offset, user) before the
+    tiny triangle rollup — hot cohorts spread, nothing single-reducer.
+    """
+    p = F.lit(int(period_seconds) * 1_000_000).cast("bigint")
+    per = (_micros(F.col(ts_col)) / p).cast("long")
+    first = events.groupBy(user_col).agg(F.min(per).alias("cohort_period"))
+    active = events.select(F.col(user_col), per.alias("_p")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_period",
+            (F.col("_p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -330,3 +330,63 @@ def test_corpus_cube_gid_semantics(spark):
     assert got[("en", None, 1)] == 2      # lang subtotal
     assert got[(None, "a", 2)] == 2       # source subtotal
     assert got[("de", "a", 0)] == 1       # leaf
+
+
+# -------------------------------------------------- funnel / retention
+
+
+def _tev(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime.fromisoformat(t), u, ty) for i, (t, u, ty) in enumerate(rows)],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string",
+    )
+
+
+def test_funnel_strict_order_and_nulls(spark):
+    ev = _tev(spark, [
+        # user 1: full ordered funnel
+        ("2026-01-01T00:00:00", 1, "view"),
+        ("2026-01-01T01:00:00", 1, "click"),
+        ("2026-01-01T02:00:00", 1, "purchase"),
+        # user 2: clicked BEFORE viewing -> click doesn't count; no
+        # later click -> funnel stops after view
+        ("2026-01-01T00:30:00", 2, "click"),
+        ("2026-01-01T01:00:00", 2, "view"),
+        ("2026-01-01T02:00:00", 2, "purchase"),
+        # user 3: click at the SAME instant as view -> strictly-after
+        # excludes it
+        ("2026-01-01T00:00:00", 3, "view"),
+        ("2026-01-01T00:00:00", 3, "click"),
+        # user 4: never viewed -> not in the funnel at all
+        ("2026-01-01T00:00:00", 4, "click"),
+    ])
+    got = {
+        r["user_id"]: (r["t_view"] is not None, r["t_click"] is not None,
+                       r["t_purchase"] is not None)
+        for r in dp_events.funnel_times(ev).collect()
+    }
+    assert got == {
+        1: (True, True, True),
+        2: (True, False, False),
+        3: (True, False, False),
+    }
+
+
+def test_retention_cohorts_triangle(spark):
+    day = 86400
+    ev = _tev(spark, [
+        ("2026-01-01T10:00:00", 1, "view"),   # cohort d0
+        ("2026-01-02T10:00:00", 1, "view"),   # returns d1
+        ("2026-01-02T11:00:00", 1, "click"),  # same day, counted once
+        ("2026-01-02T10:00:00", 2, "view"),   # cohort d1
+        ("2026-01-04T10:00:00", 2, "view"),   # returns d3 (+2)
+    ])
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in dp_events.retention_cohorts(ev, period_seconds=day).collect()
+    }
+    d0 = int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp()) // day
+    assert got == {
+        (d0, 0): 1, (d0, 1): 1,          # user 1
+        (d0 + 1, 0): 1, (d0 + 1, 2): 1,  # user 2
+    }
