@@ -330,3 +330,79 @@ def start_incremental_conversion(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus dedup: the live twin of datapipe/incremental.py.
+# Same exactly-once protocol as the connection stream above — every
+# effect of batch N keyed by N with overwrite semantics, delta computed
+# against history snapshots < N only.
+
+DOCS_STREAM_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def process_docs_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    store,
+    output_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One idempotent corpus-dedup micro-batch: within-batch min-id
+    winners + anti-join against the fingerprint history of EARLIER
+    batches (``before_snapshot=batch_id`` — a crash-replayed batch
+    recomputes its original delta even after its own commit landed),
+    survivors written to ``output_dir/batch=N`` (overwrite), fingerprint
+    snapshot committed LAST (metrics file = commit marker). Public so
+    tests can drive crash/replay without a streaming query."""
+    from .datapipe.incremental import commit_batch, dedupe_batch
+
+    if batch.isEmpty():
+        return
+    survivors = materialize(
+        dedupe_batch(
+            batch, store, text_col=text_col, id_col=id_col,
+            before_snapshot=batch_id,
+        ),
+        "stream-dedup-survivors",
+    )
+    survivors.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
+    commit_batch(survivors, store, snapshot_id=batch_id)
+    sweep_staging(spark)
+
+
+def start_corpus_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    output_dir: str,
+    history_dir: str,
+    stream_checkpoint_dir: str,
+    schema: str = DOCS_STREAM_SCHEMA,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream a growing documents directory -> append cross-batch-unique
+    documents (with their ``fp``) under ``output_dir/batch=N``. The
+    history side is the skinny fingerprint store — per-trigger cost is
+    one fingerprint scan of the batch plus an anti-join whose build
+    side compacts (store.compact()) as batches accumulate."""
+    from .datapipe.incremental import CorpusDedupStore
+
+    store = CorpusDedupStore(spark, history_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        process_docs_batch(spark, batch, batch_id, store, output_dir)
+
+    writer = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", stream_checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
