@@ -1158,6 +1158,21 @@ def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-neighborhood BFS: min hop distance within 4 hops of
+    seeds {0,1,2} over a SPARSE 997-node graph (dense host graph would
+    saturate in 2 hops — sparsity makes the per-level frontier real)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    edges = d.select(
+        (F.col("doc_id") % 997).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 997).alias("dst"),
+    )
+    seeds = spark.range(3).select(F.col("id").alias("node"))
+    return kg.khop_distances(edges, seeds, k=4)
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1253,6 +1268,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": _q_negative_samples,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
+        "kg_khop": _q_kg_khop,
     }
 
 
@@ -2218,6 +2234,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_users
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2
+        """,
+        "kg_khop": """
+            WITH RECURSIVE edges AS (
+              SELECT doc_id % 997 AS src, (doc_id * 31 + 7) % 997 AS dst
+              FROM documents WHERE doc_id < 200
+            ), r(node, hops) AS (
+              SELECT k.k, 0 FROM UNNEST([0, 1, 2]) AS k(k)
+              UNION
+              SELECT e.dst, r.hops + 1
+              FROM r JOIN edges e ON e.src = r.node
+              WHERE r.hops < 4
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(MIN(hops) AS BIGINT) AS hops
+            FROM r GROUP BY 1
         """,
         "dedup_fingerprint": """
             SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,

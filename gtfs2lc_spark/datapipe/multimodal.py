@@ -107,3 +107,48 @@ def sample_frames(
         "*", F.col("frame.frame_idx").alias("frame_idx"),
         F.col("frame.frame_bytes").alias("frame_bytes")
     ).drop("frame")
+
+
+def decode_audio_features(
+    df: DataFrame,
+    blob_col: str = "html",
+    fake: bool = True,
+    sample_every: int = 16,
+) -> DataFrame:
+    """blob -> fixed-dim audio feature vector via Arrow-batched
+    mapInPandas — the audio twin of :func:`decode_image_features`
+    (module docstring promises both). The real implementation would
+    decode (librosa/soundfile), resample, and pool per batch; this
+    container has no audio libs, so only the deterministic fake path
+    is runnable (``fake=False`` raises — clearly marked stub).
+
+    The fake path differs from the image fake on purpose (strided
+    byte pooling rather than a digest) so tests can tell the two
+    pipelines apart; both are deterministic functions of the blob.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real audio decoding requires librosa/soundfile — not in this container"
+        )
+    out_fields = ", ".join(f"`{c.name}` {c.dataType.simpleString()}" for c in df.schema)
+    schema = f"{out_fields}, features array<double>"
+    cols = df.columns
+
+    def _fake_audio(blob: bytes) -> list[float]:
+        if blob is None or len(blob) == 0:
+            return [0.0] * FEATURE_DIM
+        pooled = [0.0] * FEATURE_DIM
+        counts = [0] * FEATURE_DIM
+        for i in range(0, len(blob), sample_every):
+            k = (i // sample_every) % FEATURE_DIM
+            pooled[k] += blob[i] / 255.0
+            counts[k] += 1
+        return [p / c if c else 0.0 for p, c in zip(pooled, counts)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["features"] = pdf[blob_col].map(_fake_audio)
+            yield pdf[cols + ["features"]]
+
+    return df.mapInPandas(batches, schema=schema)

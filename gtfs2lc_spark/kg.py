@@ -853,3 +853,54 @@ def validate_shapes(
         .where(F.col("violation").isNotNull())
         .select("focus", "shape_class", "pred", "n", "violation")
     )
+
+
+def khop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Minimum hop distance from a seed set to every node reachable in
+    <= ``k`` hops — frontier BFS, the bounded-neighborhood primitive
+    (crawl frontier expansion, KG context windows around query
+    entities, GNN sampling fan-out).
+
+    Exactly ``k`` rounds worst case, each round ONE equi-join of the
+    current frontier against the edge table on the source key plus an
+    anti-join against the visited set (both hash-partitioned on the
+    node key; the edge table never re-shuffles its side of the join
+    key between rounds). BFS level order makes the first visit the
+    minimum distance — no per-node min aggregation needed. Frontiers
+    are fact-sized at web scale, so nothing broadcasts (contrast
+    earliest_arrivals, whose frontier is dimension-bounded and
+    broadcast deliberately). Early exit when a frontier empties; each
+    round's sets cut lineage through :func:`materialize`.
+
+    Output: (node, hops) with hops in [0, k], one row per reached
+    node.
+    """
+    dist = materialize(
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long")),
+        label="khop_dist",
+    )
+    frontier = dist.select("node")
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    for h in range(1, int(k) + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+        )
+        nxt = materialize(nxt, label="khop_frontier")
+        if nxt.isEmpty():
+            return dist
+        dist = materialize(dist.unionByName(nxt), label="khop_dist")
+        frontier = nxt.select("node")
+    return dist

@@ -390,3 +390,52 @@ def test_retention_cohorts_triangle(spark):
         (d0, 0): 1, (d0, 1): 1,          # user 1
         (d0 + 1, 0): 1, (d0 + 1, 2): 1,  # user 2
     }
+
+
+# ------------------------------------------------------------------ khop
+
+
+def test_khop_min_distance_and_bound(spark):
+    from gtfs2lc_spark import kg
+
+    # 0 -> 1 -> 2 -> 3 -> 4 chain plus a shortcut 0 -> 3 and a cycle
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (4, 0)],
+        "src bigint, dst bigint",
+    )
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    got = {
+        r["node"]: r["hops"]
+        for r in kg.khop_distances(edges, seeds, k=2).collect()
+    }
+    # min-hop: 3 via the shortcut is 1, NOT 3; 4 is 2 (3 -> 4); node 2 is 2
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+    # k bound respected and cycles don't loop
+    full = {
+        r["node"]: r["hops"]
+        for r in kg.khop_distances(edges, seeds, k=10).collect()
+    }
+    assert full == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+
+def test_decode_audio_features_deterministic_and_stub(spark):
+    import pytest
+
+    from gtfs2lc_spark.datapipe import multimodal
+
+    d = spark.createDataFrame(
+        [(1, b"a" * 100), (2, b"")], "doc_id bigint, blob binary"
+    )
+    rows = {
+        r["doc_id"]: r["features"]
+        for r in multimodal.decode_audio_features(d, "blob").collect()
+    }
+    assert len(rows[1]) == multimodal.FEATURE_DIM
+    assert rows[2] == [0.0] * multimodal.FEATURE_DIM
+    again = {
+        r["doc_id"]: r["features"]
+        for r in multimodal.decode_audio_features(d, "blob").collect()
+    }
+    assert rows == again
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio_features(d, "blob", fake=False)
