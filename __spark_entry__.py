@@ -1163,11 +1163,16 @@ def _q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds {0,1,2} over a SPARSE 997-node graph (dense host graph would
     saturate in 2 hops — sparsity makes the per-level frontier real)."""
     d = _load(spark, sf_dir, "documents").select("doc_id").where(
-        F.col("doc_id") < 200
+        F.col("doc_id") < 400
     )
     edges = d.select(
         (F.col("doc_id") % 997).alias("src"),
         ((F.col("doc_id") * 31 + 7) % 997).alias("dst"),
+    ).unionByName(
+        d.select(
+            ((F.col("doc_id") * 13 + 5) % 997).alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 997).alias("dst"),
+        )
     )
     seeds = spark.range(3).select(F.col("id").alias("node"))
     return kg.khop_distances(edges, seeds, k=4)
@@ -2238,7 +2243,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_khop": """
             WITH RECURSIVE edges AS (
               SELECT doc_id % 997 AS src, (doc_id * 31 + 7) % 997 AS dst
-              FROM documents WHERE doc_id < 200
+              FROM documents WHERE doc_id < 400
+              UNION ALL
+              SELECT (doc_id * 13 + 5) % 997, (doc_id * 7 + 3) % 997
+              FROM documents WHERE doc_id < 400
             ), r(node, hops) AS (
               SELECT k.k, 0 FROM UNNEST([0, 1, 2]) AS k(k)
               UNION
