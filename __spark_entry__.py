@@ -1178,6 +1178,28 @@ def _q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.khop_distances(edges, seeds, k=4)
 
 
+def _q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum binning: per-language token-count quartile
+    bucket per document (thresholds from the exact counting-sort
+    quantiles, broadcast onto the corpus — the doc side never
+    shuffles)."""
+    d = _load(spark, sf_dir, "documents")
+    return text.quantile_bins(d, ps=(25, 50, 75))
+
+
+def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-id eval: labeled lang x heuristic prediction confusion
+    counts."""
+    return text.langid_confusion(_load(spark, sf_dir, "documents"))
+
+
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding as (label, pos, value) rows — the
+    centroid-profile primitive; row form keeps the double compare
+    engine-exact."""
+    return similarity.label_centroids(_load(spark, sf_dir, "embeddings"))
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1274,6 +1296,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "kg_khop": _q_kg_khop,
+        "quantile_bins": _q_quantile_bins,
+        "langid_confusion": _q_langid_confusion,
+        "label_centroids": _q_label_centroids,
     }
 
 
@@ -2257,6 +2282,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(MIN(hops) AS BIGINT) AS hops
             FROM r GROUP BY 1
+        """,
+        "quantile_bins": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tok
+              FROM documents
+            ), h AS (
+              SELECT lang, n_tok AS _v, COUNT(*) AS _c FROM t GROUP BY 1, 2
+            ), c AS (
+              SELECT lang, _v,
+                     CAST(SUM(_c) OVER (PARTITION BY lang ORDER BY _v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS _cum,
+                     CAST(SUM(_c) OVER (PARTITION BY lang) AS BIGINT) AS _n
+              FROM h
+            ), e AS (
+              SELECT lang, _v, _cum, _n, unnest([25, 50, 75]) AS p FROM c
+            ), q AS (
+              SELECT lang, p, MIN(_v) AS q_value FROM e
+              WHERE _cum >= CAST(ceil(p * _n / 100.0) AS BIGINT)
+              GROUP BY 1, 2
+            ), th AS (
+              SELECT lang, list(q_value ORDER BY p) AS ths FROM q GROUP BY 1
+            )
+            SELECT t.doc_id, t.lang, CAST(t.n_tok AS BIGINT) AS n_tok,
+                   CAST(len(list_filter(th.ths, x -> t.n_tok > x)) AS BIGINT) AS bucket
+            FROM t JOIN th USING (lang)
+        """,
+        "langid_confusion": f"""
+            WITH h AS (
+              SELECT lang AS label,
+                {_sw_hits('en')} AS h_en, {_sw_hits('de')} AS h_de,
+                {_sw_hits('fr')} AS h_fr, {_sw_hits('es')} AS h_es
+              FROM documents
+            )
+            SELECT label,
+              CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                   WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                   WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                   WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                   ELSE 'de' END AS predicted,
+              COUNT(*) AS n_docs
+            FROM h GROUP BY 1, 2
+        """,
+        "label_centroids": """
+            WITH e AS (
+              SELECT label, g.pos - 1 AS pos,
+                     CAST(embedding[g.pos] AS DOUBLE) AS v
+              FROM embeddings,
+                   UNNEST(generate_series(1, len(embedding))) AS g(pos)
+            )
+            SELECT label, CAST(pos AS BIGINT) AS pos,
+                   round(AVG(v), 6) AS centroid,
+                   COUNT(*) AS n_vecs
+            FROM e GROUP BY 1, 2
         """,
         "dedup_fingerprint": """
             SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,

@@ -396,3 +396,33 @@ def topk_recall(
             ).alias("recall"),
         )
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dimension) — the
+    class-profile primitive behind centroid classifiers, cluster
+    drift monitoring, and IVF coarse quantizer refresh over a labeled
+    corpus.
+
+    Scale shape: ``posexplode`` widens the fact table by dim inside
+    the scan, then ONE map-side-combinable (label, pos) average — the
+    shuffle carries n_labels x dim partial sums per task, never the
+    vectors. No collect step: emitting (label, pos, value) rows keeps
+    the compare engine-exact (array->string rendering of doubles is
+    NOT portable; rows of rounded doubles are).
+    """
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "_v"),
+    )
+    return (
+        e.groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.round(F.avg("_v"), 6).alias("centroid"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+    )

@@ -1182,3 +1182,63 @@ def negative_samples(
         .cast("long")
         .alias("neg_id"),
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    ps: tuple[int, ...] = (25, 50, 75),
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum/mix binning: each document gets its per-group
+    token-count quantile bucket — ``bucket = number of group quantile
+    thresholds strictly below the document's value`` (len(ps)+1
+    buckets, 0 = shortest quartile). The standard knob for
+    length-curriculum schedules and per-bucket sampling rates.
+
+    Composes :func:`token_quantiles` (exact counting-sort quantiles —
+    the shuffle carries one row per distinct (group, value)); the
+    per-group threshold arrays are a handful of rows BROADCAST onto
+    the corpus, so the fact table never shuffles — the whole doc-side
+    pass is one codegen'd projection.
+
+    Output: (id, group, n_tok, bucket).
+    """
+    q = token_quantiles(df, ps=ps, group_col=group_col, text_col=text_col)
+    th = q.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("p"), F.col("q_value")))
+        ).alias("_thr")
+    )
+    v = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(F.col(text_col)).alias("n_tok"),
+    )
+    return v.join(F.broadcast(th), group_col).select(
+        id_col,
+        group_col,
+        "n_tok",
+        F.size(
+            F.filter(F.col("_thr"), lambda t: F.col("n_tok") > t["q_value"])
+        ).cast("long").alias("bucket"),
+    )
+
+
+def langid_confusion(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Language-id evaluation: confusion counts of the labeled language
+    vs the n-gram heuristic's prediction — the measured error analysis
+    behind trusting (or not trusting) the cheap classifier at corpus
+    scale. One map-side-combinable count aggregation over (label,
+    prediction)."""
+    return (
+        df.select(
+            F.col(lang_col).alias("label"),
+            lang_id(F.col(text_col)).alias("predicted"),
+        )
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

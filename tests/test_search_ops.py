@@ -439,3 +439,51 @@ def test_decode_audio_features_deterministic_and_stub(spark):
     assert rows == again
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio_features(d, "blob", fake=False)
+
+
+# ----------------------------------------------- curriculum / centroids
+
+
+def test_quantile_bins_closed_form(spark):
+    # one lang, token counts 1..8 -> quartile thresholds (lower
+    # quantile at ceil(p*n/100)): p25 -> 2, p50 -> 4, p75 -> 6
+    d = spark.createDataFrame(
+        [(i, "en", " ".join(["w"] * i)) for i in range(1, 9)],
+        "doc_id bigint, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in text.quantile_bins(d, ps=(25, 50, 75)).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+
+
+def test_label_centroids_closed_form(spark):
+    from gtfs2lc_spark.datapipe import similarity
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [10.0, 20.0], 1)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    got = {
+        (r["label"], r["pos"]): (r["centroid"], r["n_vecs"])
+        for r in similarity.label_centroids(e).collect()
+    }
+    assert got == {
+        (0, 0): (2.0, 2), (0, 1): (4.0, 2),
+        (1, 0): (10.0, 1), (1, 1): (20.0, 1),
+    }
+
+
+def test_langid_confusion_diagonal(spark):
+    d = spark.createDataFrame(
+        [(1, "en", "the cat and the dog is here"),
+         (2, "de", "der hund und die katze ist nicht da"),
+         (3, "en", "zzz qqq")],  # no stopwords -> 'und'
+        "doc_id bigint, lang string, text string",
+    )
+    got = {
+        (r["label"], r["predicted"]): r["n_docs"]
+        for r in text.langid_confusion(d).collect()
+    }
+    assert got == {("en", "en"): 1, ("de", "de"): 1, ("en", "und"): 1}
