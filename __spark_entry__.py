@@ -1200,6 +1200,27 @@ def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(_load(spark, sf_dir, "embeddings"))
 
 
+def _q_salted_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew handling: two-phase SALTED aggregation over the
+    source key (a zipf-hot source spreads over n_salts reducers in
+    phase 1; phase 2 combines <= n_salts partials per key). Oracle is
+    the plain GROUP BY — result equivalence IS the contract."""
+    from gtfs2lc_spark import skew
+
+    d = _load(spark, sf_dir, "documents")
+    return skew.salted_agg(
+        d,
+        ["source"],
+        {
+            "n_docs": ("count", "doc_id"),
+            "sum_chars": ("sum", "n_chars"),
+            "min_chars": ("min", "n_chars"),
+            "max_chars": ("max", "n_chars"),
+        },
+        n_salts=16,
+    )
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1299,6 +1320,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": _q_quantile_bins,
         "langid_confusion": _q_langid_confusion,
         "label_centroids": _q_label_centroids,
+        "salted_source_stats": _q_salted_source_stats,
     }
 
 
@@ -2339,6 +2361,14 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(v), 6) AS centroid,
                    COUNT(*) AS n_vecs
             FROM e GROUP BY 1, 2
+        """,
+        "salted_source_stats": """
+            SELECT source,
+                   COUNT(doc_id) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars
+            FROM documents GROUP BY 1
         """,
         "dedup_fingerprint": """
             SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,

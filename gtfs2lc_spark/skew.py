@@ -1,0 +1,98 @@
+"""Explicit skew handling: salted two-phase aggregation and salted
+broadcast-replicated joins.
+
+The pipeline already salts its one known hot spot (the J6 service-day
+explode repartitions on a salted key, pipeline.py); these helpers make
+the same technique available as reusable operators for ad-hoc corpus
+work where AQE's runtime skew splitting doesn't apply (aggregations —
+AQE skew handling only splits JOIN partitions) or where the skew is
+known ahead of time and one wants the plan pinned rather than
+runtime-dependent.
+
+gtfs2lc parity note: the reference is single-process and never
+partitions (SURVEY.md §4); skew is purely a distributed-engine concern
+introduced by this port's target scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation for hot grouping keys: phase 1 aggregates
+    on (keys..., salt) — a hot key's rows spread over ``n_salts``
+    reducers — phase 2 combines the per-salt partials on the true keys
+    (now at most ``n_salts`` rows per key).
+
+    ``aggs`` maps output column -> (function, input column) with the
+    decomposable functions whose partial/final combine is known:
+    ``count`` (finalizes as sum), ``sum``, ``min``, ``max``.
+    Non-decomposable aggregates (avg, distinct counts) must be
+    rewritten by the caller (avg = sum/count; distinct -> two-step).
+
+    NOTE Spark's hash aggregation already does map-side partials, so
+    plain groupBy is usually fine; salting matters when per-key state
+    is large (collect_list-like), when a single reducer key dominates
+    a stage, or when the partial-agg reduction ratio is poor. This
+    operator exists so the choice is explicit and testable.
+    """
+    _FINAL = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    for out, (fn, _col) in aggs.items():
+        if fn not in _FINAL:
+            raise ValueError(
+                f"{out}: '{fn}' is not decomposable here; supported: {sorted(_FINAL)}"
+            )
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()),
+                  F.lit(int(n_salts))).alias("_salt")
+    in_cols = [c for c in dict.fromkeys(c for _, c in aggs.values()) if c not in keys]
+    phase1 = (
+        df.select(*keys, salt, *in_cols)
+        .groupBy(*keys, "_salt")
+        .agg(*[getattr(F, fn)(c).alias(out) for out, (fn, c) in aggs.items()])
+    )
+    return (
+        phase1.groupBy(*keys)
+        .agg(*[
+            getattr(F, _FINAL[fn])(out).cast("long").alias(out)
+            if fn == "count"
+            else getattr(F, _FINAL[fn])(out).alias(out)
+            for out, (fn, _c) in aggs.items()
+        ])
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the BIG side gets a random salt in
+    [0, n_salts), the SMALL side is replicated once per salt value, and
+    the join key becomes (key, salt) — a hot key's rows land on
+    ``n_salts`` different reducers instead of one straggler task.
+
+    Use when the small side is too big to broadcast outright but a
+    known zipf key would straggle a SortMergeJoin; replication costs
+    ``n_salts x |small|``, so pick the smallest salt count that breaks
+    the straggler. (If the small side FITS in memory, broadcast it —
+    that is strictly better and the default everywhere else in this
+    repo.)
+    """
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()),
+               F.lit(int(n_salts))).cast("int"),
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(int(n_salts))]))
+    )
+    return salted_big.join(replicated, [on, "_salt"], how).drop("_salt")
