@@ -1221,6 +1221,16 @@ def _q_salted_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair assembly: MinHash near-dup positives
+    + hash-sampled negatives (normalized, deduped, anti-joined against
+    the positive set so no true near-dup is mislabeled 0)."""
+    from gtfs2lc_spark.datapipe import curate
+
+    d = _load(spark, sf_dir, "documents")
+    return curate.contrastive_pairs(d, threshold=0.5, k_neg=2, hash_fn="md5")
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1321,6 +1331,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": _q_langid_confusion,
         "label_centroids": _q_label_centroids,
         "salted_source_stats": _q_salted_source_stats,
+        "contrastive_pairs": _q_contrastive_pairs,
     }
 
 
@@ -1405,6 +1416,47 @@ def _sql_minhash_neardup(threshold: float = 0.5, num_perm: int = 32, bands: int 
     return f"""
         WITH {_minhash_pairs_ctes(num_perm, bands)}
         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+def _sql_contrastive_pairs(threshold: float = 0.5, k_neg: int = 2,
+                           num_perm: int = 32, bands: int = 8) -> str:
+    """Composition of the minhash near-dup oracle and the negative-
+    sampling oracle: positives labeled 1; normalized deduped sampled
+    pairs minus positives labeled 0."""
+    return f"""
+        WITH {_minhash_pairs_ctes(num_perm, bands)},
+        pos AS (
+          SELECT id_a, id_b FROM scored WHERE jaccard >= {threshold}
+        ),
+        nn AS (SELECT COUNT(*) AS _n FROM documents),
+        fan AS (
+          SELECT doc_id, _n, k.k AS sample_idx
+          FROM documents CROSS JOIN nn,
+               UNNEST(range({k_neg})) AS k(k)
+        ),
+        negraw AS (
+          SELECT doc_id,
+            CASE WHEN raw = doc_id THEN (raw + 1) % _n ELSE raw END AS neg_id
+          FROM (
+            SELECT doc_id, _n,
+              ('0x' || substr(md5('negs:' || doc_id || ':' || sample_idx), 1, 15))::BIGINT % _n AS raw
+            FROM fan
+          )
+        ),
+        negn AS (
+          SELECT DISTINCT least(doc_id, neg_id) AS id_a,
+                          greatest(doc_id, neg_id) AS id_b
+          FROM negraw
+        ),
+        neg AS (
+          SELECT n.id_a, n.id_b FROM negn n
+          LEFT JOIN pos p ON p.id_a = n.id_a AND p.id_b = n.id_b
+          WHERE p.id_a IS NULL
+        )
+        SELECT id_a, id_b, CAST(1 AS BIGINT) AS label FROM pos
+        UNION ALL
+        SELECT id_a, id_b, CAST(0 AS BIGINT) AS label FROM neg
     """
 
 
@@ -2362,6 +2414,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_vecs
             FROM e GROUP BY 1, 2
         """,
+        "contrastive_pairs": _sql_contrastive_pairs(),
         "salted_source_stats": """
             SELECT source,
                    COUNT(doc_id) AS n_docs,

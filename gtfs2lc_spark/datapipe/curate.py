@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from . import text as text_ops
 from . import web as web_ops
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "contrastive_pairs"]
 
 
 def curate_corpus(
@@ -90,3 +90,44 @@ def curate_corpus(
         id_col=id_col,
         seed=seed,
     )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k_neg: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+    neg_seed: str = "negs",
+) -> DataFrame:
+    """Training-pair assembly for contrastive embedding training:
+    positives = MinHash-LSH near-duplicate pairs (documents that
+    genuinely share content), negatives = deterministic hash-sampled
+    pairs (negative_samples), normalized to (min, max) id order,
+    deduplicated, and anti-joined against the positive set (a sampled
+    'negative' that happens to be a true near-dup pair must not be
+    mislabeled). Output (id_a, id_b, label) with label 1/0.
+
+    Everything composes already-verified operators: the LSH banding
+    keeps positives off the O(n^2) path, the negative fan-out is a
+    bounded in-scan explode, and the anti-join is (id_a, id_b)-keyed.
+    """
+    from .dedup import minhash_near_duplicates
+    from .text import negative_samples
+
+    pos = minhash_near_duplicates(
+        df, id_col=id_col, text_col=text_col,
+        threshold=threshold, hash_fn=hash_fn,
+    ).select("id_a", "id_b", F.lit(1).cast("long").alias("label"))
+    neg = (
+        negative_samples(df, k=k_neg, id_col=id_col, seed=neg_seed)
+        .select(
+            F.least(F.col(id_col), F.col("neg_id")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("neg_id")).alias("id_b"),
+        )
+        .distinct()
+        .join(pos.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .select("id_a", "id_b", F.lit(0).cast("long").alias("label"))
+    )
+    return pos.unionByName(neg)

@@ -487,3 +487,23 @@ def test_langid_confusion_diagonal(spark):
         for r in text.langid_confusion(d).collect()
     }
     assert got == {("en", "en"): 1, ("de", "de"): 1, ("en", "und"): 1}
+
+
+def test_contrastive_pairs_labels_disjoint_and_correct(spark):
+    from gtfs2lc_spark.datapipe import curate
+
+    near = "the quick brown fox jumps over the lazy dog every day"
+    texts = [near, near + " indeed", "alpha beta gamma delta words here",
+             "totally different content again", "more unrelated prose lines"]
+    d = _docs(spark, texts)
+    out = curate.contrastive_pairs(d, threshold=0.5, k_neg=2, hash_fn="md5")
+    rows = out.collect()
+    pos = {(r["id_a"], r["id_b"]) for r in rows if r["label"] == 1}
+    neg = {(r["id_a"], r["id_b"]) for r in rows if r["label"] == 0}
+    assert (0, 1) in pos          # the near-dup pair
+    assert not pos & neg          # no pair carries both labels
+    for a, b in pos | neg:
+        assert a < b              # normalized order
+    # deterministic on re-evaluation
+    again = out.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
