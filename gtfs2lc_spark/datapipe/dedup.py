@@ -482,10 +482,13 @@ def setsim_join(
             F.size("ord").cast("long").alias("n"),
         )
     )
-    # prefix length p = n - ceil(t*n) + 1
+    # prefix length p = n - ceil(t*n) + 1. The exploded prefix rows are
+    # SKINNY (id, n, pterm) — the token arrays must not ride through
+    # the self-join's shuffle (p copies of every document's full set);
+    # they are re-attached per UNIQUE candidate pair afterwards.
     p = (F.col("n") - F.ceil(F.col("n") * F.lit(t)).cast("long") + F.lit(1))
     pre = ranked.select(
-        "id", "tok", "n", F.explode(F.slice("tok", 1, p)).alias("pterm")
+        "id", "n", F.explode(F.slice("tok", 1, p)).alias("pterm")
     )
     a, b = pre.alias("a"), pre.alias("b")
     cand = (
@@ -498,18 +501,18 @@ def setsim_join(
                 >= F.ceil(F.greatest(F.col("a.n"), F.col("b.n")) * F.lit(t)).cast("long")
             ),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.tok").alias("tok_a"),
-            F.col("b.tok").alias("tok_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    arrs = ranked.select("id", "tok")
+    verified = (
+        cand.join(arrs.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a")), "id_a")
+        .join(arrs.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b")), "id_b")
     )
     inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
     union = F.size(F.array_union("tok_a", "tok_b")).cast("double")
     return (
-        cand.select(
+        verified.select(
             "id_a",
             "id_b",
             F.round(inter / union, 6).alias("jaccard"),

@@ -934,8 +934,10 @@ def heavy_hitters(
        of per-partition candidates (<= k rows each) is collected —
        tiny by construction — and broadcast.
     2. RECOUNT — exact map-side-combinable count of ONLY the candidate
-       tokens (broadcast ``isin`` filter pushed into the scan-side
-       projection), then the exact ``cnt/N >= min_share`` cut.
+       tokens (the collected candidate list compiles to an in-set
+       filter applied right at the token generator, before any
+       aggregation state builds), then the exact ``cnt/N >= min_share``
+       cut.
 
     The recount makes the result exact whatever MG kept extra —
     correctness never depends on the sketch, only completeness does

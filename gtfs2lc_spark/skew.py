@@ -87,6 +87,13 @@ def salted_join(
     that is strictly better and the default everywhere else in this
     repo.)
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left-side joins only, got '{how}': "
+            "the replicated small side would emit its unmatched rows once "
+            "per salt under right/full semantics"
+        )
     salted_big = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()),

@@ -69,3 +69,17 @@ def test_salted_join_matches_plain_join(spark):
         for r in big.join(small, "k").collect()
     }
     assert got == want and len(got) == 3000
+
+
+def test_salted_join_left_semantics_and_outer_guard(spark):
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (99, "orphan")], "k bigint, payload string"
+    )
+    small = spark.createDataFrame([(1, "dim1")], "k bigint, dim string")
+    rows = skew.salted_join(big, small, "k", n_salts=4, how="left").collect()
+    # unmatched left row appears exactly ONCE, null-extended
+    orphans = [r for r in rows if r["payload"] == "orphan"]
+    assert len(orphans) == 1 and orphans[0]["dim"] is None
+    assert len(rows) == 3
+    with pytest.raises(ValueError):
+        skew.salted_join(big, small, "k", how="full")
