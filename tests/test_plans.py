@@ -178,3 +178,52 @@ def test_triangles_plan_has_no_cartesian(spark):
     plan = _executed_plan(kg.triangles(df))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_bins_broadcasts_thresholds(spark):
+    """The curriculum binning join must broadcast the handful of
+    per-group threshold rows — the corpus side must never sort-merge
+    (a SMJ here would shuffle every document to bucket it)."""
+    from gtfs2lc_spark.datapipe import text as t
+
+    d = spark.createDataFrame(
+        [(i, "en", "w " * (i + 1)) for i in range(20)],
+        "doc_id bigint, lang string, text string",
+    )
+    plan = _executed_plan(t.quantile_bins(d))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fingerprint_containment_broadcasts_benchmark(spark):
+    """Contamination joins must broadcast the eval set: the corpus
+    side is 10^12 rows, the benchmark a few MB of fingerprints."""
+    from gtfs2lc_spark.datapipe import text as t
+
+    d = spark.createDataFrame(
+        [(i, "some benchmark text long enough here okay") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    bench = d.limit(2).selectExpr("doc_id AS bench_id", "text")
+    plan = _executed_plan(t.fingerprint_containment(d, bench, hash_fn="md5"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contrastive_pairs_no_cartesian(spark):
+    from gtfs2lc_spark.datapipe import curate
+
+    d = spark.createDataFrame(
+        [(i, f"text body number {i} with words") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    plan = _executed_plan(curate.contrastive_pairs(d, hash_fn="md5"))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is negative_samples' 1-row
+    # corpus-count broadcast (IdentityBroadcastMode scalar attach);
+    # an all-pairs BNLJ between fact-sized sides would not be identity
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight" in line or "BuildLeft" in line
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
