@@ -1231,6 +1231,37 @@ def _q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.contrastive_pairs(d, threshold=0.5, k_neg=2, hash_fn="md5")
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring spans (Lee et al. 2022 ExactSubstr
+    dedup): maximal per-document intervals covered by >= 40-char
+    substrings that occur more than once in the corpus. Shingle
+    positions -> skinny hash-count prefilter -> exact substring
+    verify -> one-exchange gaps-and-islands interval merge."""
+    d = _load(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(d, min_len=40)
+
+
+def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of MinHash+LSH near-dup detection vs EXACT
+    ground truth (prefix-filtered shingle-Jaccard self-join at the
+    same threshold) — the eval that sizes (num_perm, bands) before a
+    full-corpus dedup run. Gate restricts to a deterministic 1/17
+    document slice so the brute-force oracle stays cheap at sf0.1."""
+    d = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
+    return dedup.minhash_recall(d, threshold=0.5, hash_fn="md5")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion per-language stratified sample: each stratum
+    contributes exactly ceil(0.3 * n) rows, deterministically ranked
+    by the portable seeded hash — rare languages never vanish the way
+    they can under per-row hash membership."""
+    d = _load(spark, sf_dir, "documents")
+    return text.stratified_sample(d, strata_col="lang", fraction=0.3).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1332,6 +1363,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": _q_label_centroids,
         "salted_source_stats": _q_salted_source_stats,
         "contrastive_pairs": _q_contrastive_pairs,
+        "dup_spans": _q_dup_spans,
+        "minhash_recall": _q_minhash_recall,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1379,12 +1413,13 @@ def _duck_bucket(vexpr: str, planes: list[list[float]]) -> str:
     ) + ")"
 
 
-def _minhash_pairs_ctes(num_perm: int = 32, bands: int = 8) -> str:
+def _minhash_pairs_ctes(num_perm: int = 32, bands: int = 8, src: str = "documents") -> str:
     """CTE chain ending in scored(id_a, id_b, jaccard) — mirror of
     dedup.minhash_near_duplicates(hash_fn='md5'): same shingles, same
     (a,b) permutation literals, same sentinel, band equality on the
     signature slice itself (equal tuples <=> equal xxhash64 band keys
-    on the Spark side)."""
+    on the Spark side). ``src`` points the chain at a prior CTE when
+    the caller pre-filters the document set."""
     params = dedup.minhash_params(num_perm, 42)
     rows = num_perm // bands
     sig = ",\n          ".join(
@@ -1395,7 +1430,7 @@ def _minhash_pairs_ctes(num_perm: int = 32, bands: int = 8) -> str:
             THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.sh, y.sh)))
             ELSE CAST(0 AS DOUBLE) END, 6)"""
-    return f"""sh AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents),
+    return f"""sh AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM {src}),
         hs AS (SELECT id, sh, list_transform(sh, s -> {_DUCK_H32.format(s='s')}) AS hs FROM sh),
         sigs AS (SELECT id, [{sig}] AS sig FROM hs),
         bands AS (
@@ -2422,6 +2457,71 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_chars) AS min_chars,
                    MAX(n_chars) AS max_chars
             FROM documents GROUP BY 1
+        """,
+        "dup_spans": """
+            WITH pos AS (
+              SELECT doc_id, unnest(range(1, greatest(length(text)-40+1, 0)+1)) AS pos, text
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), 40) AS s FROM pos
+            ), dup AS (
+              SELECT s FROM sh GROUP BY s HAVING count(*) > 1
+            ), dp AS (
+              SELECT doc_id, pos FROM sh SEMI JOIN dup USING (s)
+            ), flg AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 40
+                     THEN 0 ELSE 1 END AS new_island
+              FROM dp
+            ), isl AS (
+              SELECT doc_id, pos,
+                sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM flg
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 39 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS span_len
+            FROM isl GROUP BY doc_id, island
+        """,
+        "minhash_recall": f"""
+            WITH docs_f AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+            {_minhash_pairs_ctes(src="docs_f")},
+            found AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                       THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                            / len(list_distinct(list_concat(a.sh, b.sh)))
+                       ELSE CAST(0 AS DOUBLE) END, 6) AS j
+              FROM sh a JOIN sh b ON a.id < b.id
+            ), truth AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.5),
+            hit AS (
+              SELECT f.id_a, f.id_b FROM found f
+              JOIN truth t ON f.id_a = t.id_a AND f.id_b = t.id_b
+            )
+            SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+                   CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+                   CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+                   CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                        ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                                   / (SELECT count(*) FROM truth), 6)
+                   END AS recall
+        """,
+        "stratified_sample": f"""
+            WITH r AS (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_DUCK_H32.format(s="'strat-v1' || '|' || CAST(doc_id AS VARCHAR)")} ASC,
+                                doc_id ASC
+                     ) AS rk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            )
+            SELECT doc_id, lang, source FROM r
+            WHERE rk <= CAST(ceil(n * 0.3) AS BIGINT)
         """,
         "dedup_fingerprint": """
             SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,

@@ -428,6 +428,7 @@ def setsim_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    shingle_k: int | None = None,
 ) -> DataFrame:
     """GLOBAL exact-Jaccard set-similarity self-join via prefix
     filtering (the AllPairs/PPJoin family, Bayardo et al. WWW'07 /
@@ -458,13 +459,23 @@ def setsim_join(
 
     Output: (id_a, id_b, jaccard) for pairs with jaccard >= threshold,
     id_a < id_b, jaccard rounded to 6 dp.
+
+    ``shingle_k``: None (default) compares distinct-TOKEN sets; an int
+    compares distinct word-``k``-shingle sets instead — the same set
+    family the MinHash path hashes, which makes this operator the
+    exact ground truth for :func:`minhash_recall`. The prefix-filter
+    proof is set-content agnostic, so nothing else changes.
     """
     t = float(threshold)
+    if shingle_k is None:
+        set_expr = F.array_distinct(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        )
+    else:
+        set_expr = word_shingles(F.col(text_col), shingle_k)
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.filter(tokens(F.col(text_col)), lambda x: x != "")
-        ).alias("tok"),
+        set_expr.alias("tok"),
     ).where(F.size("tok") > 0)
     e = toks.select("id", F.explode("tok").alias("term"))
     dft = e.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("_df"))
@@ -518,4 +529,161 @@ def setsim_join(
             F.round(inter / union, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= F.lit(t))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+    hash_prefilter: bool = True,
+) -> DataFrame:
+    """EXACT duplicated-substring span detection (the ExactSubstr
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better") re-expressed for a shuffle engine.
+
+    A substring of length >= ``min_len`` appears in more than one
+    place in the corpus iff every ``min_len``-gram inside it does, so
+    the union of duplicated ``min_len``-gram positions, merged into
+    maximal intervals per document, is exactly the paper's
+    "duplicated span" set — no suffix array needed, and every stage
+    is data-parallel:
+
+    1. explode each document into its ``min_len``-char shingle
+       positions (narrow; fan-out bounded by document length);
+    2. [``hash_prefilter``] count positions per xxhash64(shingle) —
+       a SKINNY map-side-combinable aggregation (8-byte keys instead
+       of ``min_len``-byte substrings) — and left-semi the positions
+       against hashes seen more than once. In a lightly-duplicated
+       corpus this kills most positions before any wide exchange
+       carries actual text;
+    3. exact verify: group the surviving positions by the SUBSTRING
+       itself and keep those occurring > once — hash collisions can
+       only route extra rows into this stage, never corrupt the
+       answer;
+    4. per-document interval merge (gaps-and-islands): positions
+       sorted within the document, a new island starts when the gap
+       to the previous position exceeds ``min_len`` (spans all have
+       equal length, so overlap-or-adjacency is exactly
+       ``pos - prev_pos <= min_len``); the island window, its running
+       sum and the final rollup all key on ``id_col`` — Catalyst
+       plans ONE exchange for the whole merge.
+
+    Skew note: every occurrence of one boilerplate shingle meets in
+    one task at stages 2-3 (the join/agg key is the shingle). The
+    aggregations are map-side combinable so only the semi-join probe
+    is exposed; for a corpus with a pathological mega-duplicate,
+    route stage 2 through ``skew.salted_join(..., how='left_semi')``.
+
+    Output: one row per maximal duplicated span —
+    (id_col, span_start [1-based], span_end [inclusive], span_len).
+    """
+    L = int(min_len)
+    t = F.col(text_col)
+    sh = (
+        df.where(F.length(t) >= L)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(t) - L + 1)).alias("pos"),
+            t.alias("_t"),
+        )
+        .select(id_col, "pos", F.expr(f"substr(_t, pos, {L})").alias("_s"))
+    )
+    if hash_prefilter:
+        dup_h = (
+            sh.groupBy(F.xxhash64("_s").alias("_h"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > 1)
+            .select("_h")
+        )
+        sh = sh.withColumn("_h", F.xxhash64("_s")).join(
+            dup_h, "_h", "left_semi"
+        ).drop("_h")
+    dup_s = (
+        sh.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > 1)
+        .select("_s")
+    )
+    pos = sh.join(dup_s, "_s", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = pos.select(
+        id_col,
+        "pos",
+        F.sum(
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) <= F.lit(L), F.lit(0)
+            ).otherwise(F.lit(1))
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_island"),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(L) - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def minhash_recall(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Measured recall of the MinHash+LSH near-dup detector against
+    EXACT ground truth — the eval that justifies (num_perm, bands)
+    before a 100-TB dedup run, mirroring :func:`similarity`'s
+    ann_recall for the text path.
+
+    Ground truth is the prefix-filtered exact shingle-Jaccard
+    self-join (:func:`setsim_join` with ``shingle_k``) at the same
+    threshold over the same distinct-shingle sets, so the two pair
+    sets are directly comparable and neither side is O(n^2). The
+    found set is :func:`minhash_near_duplicates` (LSH candidates +
+    exact verify), hence found ⊆ truth up to band-collision luck —
+    the hit count is still computed by an explicit pair join rather
+    than assumed.
+
+    Output: ONE row (n_truth, n_found, n_hit, recall) — recall =
+    n_hit / n_truth (1.0 for an empty truth set: nothing to find).
+    """
+    truth = setsim_join(
+        df, id_col, text_col, threshold=threshold, shingle_k=shingle_k
+    ).select("id_a", "id_b")
+    found = minhash_near_duplicates(
+        df, id_col, text_col, threshold, num_perm, bands, shingle_k, hash_fn
+    ).select("id_a", "id_b")
+    hit = found.join(truth, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(nf)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_found",
+            "n_hit",
+            F.when(F.col("n_truth") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_truth").cast("double"), 6
+                )
+            )
+            .alias("recall"),
+        )
     )

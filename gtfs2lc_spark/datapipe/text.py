@@ -1244,3 +1244,51 @@ def langid_confusion(
         .groupBy("label", "predicted")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    fraction: float = 0.2,
+    id_col: str = "doc_id",
+    seed: str = "strat-v1",
+) -> DataFrame:
+    """EXACT-proportion stratified sampling: every stratum contributes
+    exactly ``ceil(fraction * n_stratum)`` rows (a non-empty stratum is
+    never silently dropped), chosen deterministically — rows are ranked
+    within their stratum by the engine-portable seeded hash (id as
+    tiebreak) and the bottom slice kept.
+
+    This is the guarantee :func:`hash_sample` deliberately does NOT
+    make: per-row hash membership is stable under corpus growth but
+    only *approximately* proportional per stratum — a rare stratum
+    (a low-resource language) can vanish from the sample entirely.
+    Here proportions are exact at the cost of re-ranking when the
+    corpus changes.
+
+    Plan shape: the rank and the stratum-size count are two window
+    functions over the SAME partition key, so Catalyst plans ONE
+    exchange on ``strata_col`` for the whole operator. Skew note: one
+    giant stratum serializes its rank into one task — for corpus-scale
+    strata use hash_sample's per-row membership instead (or pre-split
+    the stratum); for dimension-ish strata (languages, sources) this
+    exchange is the exact-guarantee price.
+    """
+    from .dedup import portable_hash32
+
+    h = portable_hash32(
+        F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    wn = Window.partitionBy(strata_col)
+    return (
+        df.select(
+            "*",
+            F.row_number().over(w).alias("_rk"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        .where(
+            F.col("_rk") <= F.ceil(F.col("_n") * F.lit(float(fraction))).cast("long")
+        )
+        .drop("_rk", "_n")
+    )

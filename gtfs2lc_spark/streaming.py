@@ -406,3 +406,72 @@ def start_corpus_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def click_attribution_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM event-time interval join — the remaining
+    Structured Streaming join surface: each click paired with every
+    view by the same user in the preceding ``max_delay`` (ad/referrer
+    attribution shape). Both sides carry a watermark and the join
+    condition carries the event-time interval, so Spark can size the
+    join state exactly: a buffered view is dropped once the click-side
+    watermark passes ``view_ts + max_delay``, and state never grows
+    with the corpus — the property that keeps this runnable on an
+    unbounded stream.
+
+    Both sides derive from ONE file stream filtered by event_type (the
+    planner still executes a genuine stream-stream join; two separate
+    sources would work identically). Inner join: a click with no view
+    inside the window emits nothing — the batch twin for last-touch
+    picking (and the oracle-checked semantics) is datapipe's asof_join.
+    Returns the unstarted streaming DataFrame (append mode).
+    """
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", "8").parquet(
+        events_dir
+    )
+    views = (
+        s.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        s.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"""
+            c_user = v_user
+            AND view_ts <= click_ts
+            AND view_ts >= click_ts - interval {max_delay}
+            """
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "click_value",
+        "view_id",
+        "view_ts",
+    )

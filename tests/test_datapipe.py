@@ -669,3 +669,105 @@ def test_bigram_nll_closed_form_and_short_docs(spark):
     expected = -(math.log(4 / 7) + math.log(2 / 7)) / 2
     assert out[2][0] == 2
     assert abs(out[2][1] - round(expected, 6)) < 1e-9
+
+
+def test_duplicated_spans_exact_intervals(spark):
+    # doc 1 and doc 2 share two separated 12+-char substrings; doc 3 is
+    # unique; doc 4 is shorter than min_len. Spans must merge runs of
+    # overlapping duplicated shingles into maximal intervals.
+    shared_a = "AAAAAAAAAAAAAAAAAAAA"   # 20 chars, docs 1+2
+    shared_b = "BBBBBBBBBBBBBBBB"       # 16 chars, docs 1+2
+    rows = [
+        (1, shared_a + "xxyyzzqqwwee" + shared_b + "uniq1-tail-one"),
+        (2, "pref2-" + shared_a + "-mid-two-fill-" + shared_b),
+        (3, "entirely unique document three with no repeats at all"),
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in dedup.duplicated_spans(df, min_len=12).collect()
+    }
+
+    def spans_of(text, others, L=12):
+        dup_pos = []
+        for i in range(len(text) - L + 1):
+            s = text[i : i + L]
+            total = sum(t.count(s) for t in [text] + others)
+            if total > 1:
+                dup_pos.append(i + 1)  # 1-based
+        spans = []
+        for p in dup_pos:
+            if spans and p - spans[-1][1] <= L:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        return [(a, b + L - 1, b + L - a) for a, b in spans]
+
+    texts = {r[0]: r[1] for r in rows}
+    want = set()
+    for did, txt in texts.items():
+        others = [t for d2, t in texts.items() if d2 != did]
+        for a, b, ln in spans_of(txt, others):
+            want.add((did, a, b, ln))
+    assert got == want
+    assert any(d == 1 for d, *_ in got) and any(d == 2 for d, *_ in got)
+    assert not any(d in (3, 4) for d, *_ in got)
+
+
+def test_duplicated_spans_prefilter_parity_and_within_doc(spark):
+    # duplication WITHIN one document counts (the paper's semantics:
+    # any substring occurring >1 time in the corpus, same doc or not),
+    # and the hash prefilter must not change the answer.
+    t = "abcdefghijklmnop" + "-filler-" + "abcdefghijklmnop"
+    df = spark.createDataFrame([(7, t)], ["doc_id", "text"])
+    on = dedup.duplicated_spans(df, min_len=16, hash_prefilter=True).collect()
+    off = dedup.duplicated_spans(df, min_len=16, hash_prefilter=False).collect()
+    assert sorted(map(tuple, on)) == sorted(map(tuple, off))
+    assert len(on) == 2  # the two copies, not merged (gap > L)
+
+
+def test_minhash_recall_bounds_and_subset(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (3, "completely different text about spark shuffles and parquet scans"),
+        (4, "completely different text about spark shuffles and parquet scan"),
+        (5, "nothing in common with anything else here at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = dedup.minhash_recall(df, threshold=0.5, hash_fn="md5").collect()[0]
+    truth = dedup.setsim_join(df, threshold=0.5, shingle_k=3)
+    assert r["n_truth"] == truth.count() > 0
+    assert r["n_hit"] <= r["n_found"]
+    assert r["n_hit"] <= r["n_truth"]
+    assert r["recall"] == round(r["n_hit"] / r["n_truth"], 6)
+
+
+def test_minhash_recall_empty_truth_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    r = dedup.minhash_recall(df, threshold=0.9, hash_fn="md5").collect()[0]
+    assert r["n_truth"] == 0 and r["recall"] == 1.0
+
+
+def test_stratified_sample_exact_proportions(spark):
+    import math
+
+    rows = [(i, "en" if i < 100 else ("de" if i < 120 else "zz")) for i in range(121)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = text.stratified_sample(df, strata_col="lang", fraction=0.25)
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # exact ceil per stratum; the 1-row stratum survives
+    assert by == {"en": math.ceil(100 * 0.25), "de": math.ceil(20 * 0.25), "zz": 1}
+    # deterministic: same membership on re-run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in text.stratified_sample(df, strata_col="lang", fraction=0.25).collect()
+    )
+    assert a == b
+    # schema untouched (helper columns dropped)
+    assert out.columns == ["doc_id", "lang"]

@@ -404,3 +404,52 @@ def test_user_session_stream_gap_merge(spark, tmp_path):
     assert got[(2, "2026-01-01T08:05:00")] == (1, 5.0, "2026-01-01T08:05:00")
     # the watermark-advancing event's own session is NOT final yet
     assert not any(u == 3 for (u, _s) in got)
+
+
+def test_click_attribution_stream_interval_join(spark, tmp_path):
+    """Stream-stream event-time interval join: a click pairs with every
+    view by the same user within the preceding 30 minutes — views
+    outside the window, other users' views, and views AFTER the click
+    never pair. Inner-join append semantics: unmatched clicks emit
+    nothing."""
+    import datetime
+
+    tmp = str(tmp_path)
+    events = f"{tmp}/events"
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    ts = datetime.datetime.fromisoformat
+
+    rows = [
+        # user 1: two views then a click 10 min after the second —
+        # view 11 (25 min before) and view 12 (10 min before) both attribute
+        (11, ts("2026-01-01T08:00:00"), 1, "view", 0.0, ""),
+        (12, ts("2026-01-01T08:15:00"), 1, "view", 0.0, ""),
+        (13, ts("2026-01-01T08:25:00"), 1, "click", 9.5, ""),
+        # user 1: view 50 min before a second click -> outside the window
+        (14, ts("2026-01-01T10:00:00"), 1, "view", 0.0, ""),
+        (15, ts("2026-01-01T10:50:00"), 1, "click", 1.0, ""),
+        # user 2: view AFTER the click -> no attribution either way
+        (21, ts("2026-01-01T08:30:00"), 2, "click", 2.0, ""),
+        (22, ts("2026-01-01T08:40:00"), 2, "view", 0.0, ""),
+        # watermark pusher
+        (99, ts("2026-01-02T00:00:00"), 9, "other", 0.0, ""),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(events)
+
+    name = "attribution_mem"
+    q = (
+        streaming.click_attribution_stream(
+            spark, events, max_delay="30 minutes", watermark="1 hour"
+        )
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt_attr")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got == {(13, 11), (13, 12)}
