@@ -1262,6 +1262,15 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cluster assignment + intra-cluster cosine
+    pruning, low-id-wins keep policy. Gate threshold 0.3 yields a real
+    kept/dropped split on the random embeddings (production ~0.95);
+    'first' centroid init is engine-reproducible in the oracle."""
+    e = _load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(e, threshold=0.3, n_centroids=16)
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1366,6 +1375,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "minhash_recall": _q_minhash_recall,
         "stratified_sample": _q_stratified_sample,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -2508,6 +2518,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
                                    / (SELECT count(*) FROM truth), 6)
                    END AS recall
+        """,
+        "semantic_dedup": f"""
+            WITH cents AS (
+              SELECT embedding AS cvec,
+                     row_number() OVER (ORDER BY vec_id) - 1 AS c
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT vec_id, v, cluster FROM (
+                SELECT e.vec_id, e.embedding AS v, ct.c AS cluster,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round({_DUCK_COS.format(a='e.embedding', b='ct.cvec')}, 6) DESC, ct.c DESC) AS rn
+                FROM embeddings e CROSS JOIN cents ct
+              ) WHERE rn = 1
+            ),
+            losers AS (
+              SELECT DISTINCT b.vec_id
+              FROM assign a JOIN assign b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE round({_DUCK_COS.format(a='a.v', b='b.v')}, 6) >= 0.3
+            )
+            SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+                   (l.vec_id IS NULL) AS is_kept
+            FROM assign s LEFT JOIN losers l ON s.vec_id = l.vec_id
         """,
         "stratified_sample": f"""
             WITH r AS (

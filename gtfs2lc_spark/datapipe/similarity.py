@@ -426,3 +426,86 @@ def label_centroids(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_init: str = "first",
+    kmeans_iters: int = 3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space
+    dedup by k-means clustering + intra-cluster cosine pruning.
+
+    The paper's insight is that semantic duplicates land in the same
+    k-means cluster, so the quadratic pair search only ever runs
+    WITHIN a cluster — k is chosen so n/k-sized clusters make the
+    intra-cluster product tractable (the paper uses k=11k for 5B
+    docs). Spark shape: centroids are driver literals (k x dim — see
+    kmeans_centroids for the bound), assignment is one narrow
+    codegen'd pass, the pair search is an equi-join on the cluster id
+    (never a global cross product), and the keep policy is one
+    left-anti join.
+
+    Keep policy (deterministic variant): within a qualifying pair the
+    LOWER id is kept — a vector is dropped iff it is the higher id of
+    ANY intra-cluster pair with cosine >= threshold. (The paper drops
+    the member farthest from the centroid; low-id-wins is the same
+    cardinality and engine-reproducible, matching every other dedup
+    operator's min-id canonical policy here.)
+
+    ``centroid_init='first'``: lowest-id vectors, engine-reproducible
+    (the gate oracle recomputes assignments exactly);
+    ``'kmeans'``: Lloyd rounds for production quality (recall-bound
+    tested, not SQL-mirrored).
+
+    Output: (id_col, cluster, is_kept) for every corpus vector.
+    """
+    if centroid_init == "kmeans":
+        cvecs = kmeans_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+        cents = list(enumerate(cvecs))
+    else:
+        cents = [
+            (ci, [float(x) for x in r[1]])
+            for ci, r in enumerate(
+                corpus.select(id_col, vec_col).orderBy(id_col).take(n_centroids)
+            )
+        ]
+
+    scores = F.array(
+        *[
+            F.struct(
+                F.round(cosine(F.col("_v"), F.array(*[F.lit(x) for x in cvec])), 6).alias("s"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, cvec in cents
+        ]
+    )
+    assigned = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("cluster", F.array_max(scores)["c"].cast("long"))
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "cluster"
+    )
+    losers = (
+        a.join(b, "cluster")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= F.lit(float(threshold)))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(losers.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("is_kept"),
+        )
+    )

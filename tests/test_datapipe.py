@@ -771,3 +771,36 @@ def test_stratified_sample_exact_proportions(spark):
     assert a == b
     # schema untouched (helper columns dropped)
     assert out.columns == ["doc_id", "lang"]
+
+
+def test_semantic_dedup_keep_policy(spark):
+    # 'first' init seeds centroids from the two LOWEST ids, so ids 1
+    # and 2 are the two orthogonal cluster anchors; 3 and 4 are near-
+    # dups of 1. Low-id-wins: 1 kept, 3 and 4 dropped.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.999, 0.01, 0.0, 0.0]),
+        (4, [0.998, 0.02, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: (r["cluster"], r["is_kept"])
+        for r in similarity.semantic_dedup(df, threshold=0.95, n_centroids=2).collect()
+    }
+    assert got[1][1] is True
+    assert got[3][1] is False and got[4][1] is False
+    assert got[2][1] is True
+    # dups share a cluster; the orthogonal vector sits elsewhere
+    assert got[1][0] == got[3][0] == got[4][0]
+    assert got[2][0] != got[1][0]
+
+
+def test_semantic_dedup_kmeans_init_runs(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = similarity.semantic_dedup(
+        e, threshold=0.3, n_centroids=4, centroid_init="kmeans", kmeans_iters=2
+    )
+    rows = out.collect()
+    assert len(rows) == e.count()
+    assert {r["is_kept"] for r in rows} <= {True, False}

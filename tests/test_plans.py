@@ -227,3 +227,46 @@ def test_contrastive_pairs_no_cartesian(spark):
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildRight" in line or "BuildLeft" in line
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_duplicated_spans_plan_no_cartesian_and_one_merge_exchange(spark):
+    """The span detector must stay equi-join only (the dedup keys are
+    shingle hash and substring — never a cross product), and the whole
+    gaps-and-islands interval merge (lag window + running sum + span
+    rollup) must reuse ONE doc-keyed exchange."""
+    from gtfs2lc_spark.datapipe import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _executed_plan(dedup.duplicated_spans(d, min_len=40))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exchanges: one per dedup agg/join key (hash count, hash semi,
+    # substring count, substring semi) + exactly ONE for the merge —
+    # hashpartitioning on doc_id appears once
+    doc_exchanges = [
+        l for l in plan.split("\n")
+        if "Exchange hashpartitioning(doc_id" in l
+    ]
+    assert len(doc_exchanges) == 1, plan
+
+
+def test_stratified_sample_plan_single_exchange(spark):
+    """Exact stratified sampling: rank window + stratum-count window
+    share one strata-keyed exchange; no join, no extra shuffle."""
+    from gtfs2lc_spark.datapipe import text as t
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _executed_plan(t.stratified_sample(d, strata_col="lang", fraction=0.3))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    """SemDeDup's pair search must stay an equi-join on the cluster id
+    — never a global cross product."""
+    from gtfs2lc_spark.datapipe import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _executed_plan(similarity.semantic_dedup(e, threshold=0.3, n_centroids=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
