@@ -1271,6 +1271,32 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(e, threshold=0.3, n_centroids=16)
 
 
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, epoch-day) —
+    the multi-dimension data-skipping layout key (write_zordered
+    range-partitions + sorts by it so footer min/max stats skip files
+    for predicates on EITHER dimension). Pure shift/mask codegen fold,
+    mirrored bit-for-bit by the oracle."""
+    from gtfs2lc_spark import layout
+    from gtfs2lc_spark.datapipe.events import _micros
+
+    e = _load(spark, sf_dir, "events")
+    day = (_micros(F.col("ts")) / F.lit(86_400_000_000).cast("bigint")).cast("long")
+    d = e.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        day.alias("epoch_day"),
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        "epoch_day",
+        layout.zorder_key([F.col("user_id"), F.col("epoch_day")], bits=16)
+        .cast("long")
+        .alias("zkey"),
+    )
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1376,6 +1402,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": _q_minhash_recall,
         "stratified_sample": _q_stratified_sample,
         "semantic_dedup": _q_semantic_dedup,
+        "zorder_keys": _q_zorder_keys,
     }
 
 
@@ -2542,6 +2569,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
                    (l.vec_id IS NULL) AS is_kept
             FROM assign s LEFT JOIN losers l ON s.vec_id = l.vec_id
+        """,
+        "zorder_keys": """
+            WITH b AS (
+              SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+                     epoch_us(ts) // 86400000000 AS epoch_day
+              FROM events
+            )
+            SELECT event_id, user_id, epoch_day,
+                   CAST(list_sum(list_transform(range(16), i ->
+                     (((user_id >> i) & 1) << (2*i))
+                     + (((epoch_day >> i) & 1) << (2*i + 1))
+                   )) AS BIGINT) AS zkey
+            FROM b
         """,
         "stratified_sample": f"""
             WITH r AS (

@@ -110,3 +110,88 @@ def join_has_no_exchange(df: DataFrame) -> bool:
     the bucketed-join success criterion."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange" not in plan
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) interleave of 2+ non-negative integer columns
+    into one clustering key: bit i of column j lands at position
+    ``i * len(cols) + j``. Writing the table range-partitioned and
+    sorted by this key gives EVERY interleaved dimension locality at
+    once, so parquet min/max footer stats skip files for a predicate
+    on ANY of the dimensions — the multi-column data-skipping layout
+    (Delta/Iceberg OPTIMIZE ZORDER's core idea) with nothing but
+    public Spark APIs.
+
+    Inputs must already be non-negative ints scaled into ``bits`` bits
+    (callers clamp/quantize: ranks, epoch-days, grid cells). The
+    ``bits * len(cols)`` shift/mask terms unroll at plan-build time
+    into one codegen'd sum — no UDF, no higher-order function,
+    engine-portable (the gate oracle reproduces the same arithmetic).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs >= 2 columns")
+    if bits * n > 63:
+        raise ValueError(f"bits*len(cols) = {bits * n} exceeds a signed long")
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the Z-order key of ``zcols``:
+    repartitionByRange on the key (contiguous Morton ranges per file)
+    + sortWithinPartitions (tight per-row-group stats). Filters on any
+    of ``zcols`` then skip most files via footer min/max —
+    :func:`files_overlapping` measures it."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    z = zorder_key([df[c] for c in zcols], bits=bits).alias("_z")
+    (
+        df.select("*", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def files_overlapping(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """Data-skipping evidence: (files whose parquet footer [min,max]
+    for ``col`` overlaps [lo,hi], total files). Reads ONLY footers
+    (driver-side pyarrow) — the same stats a Spark scan's row-group
+    pruning and Delta/Iceberg file skipping consult."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is None or (fmax >= lo and fmin <= hi):
+            hit += 1
+    return hit, len(files)

@@ -67,3 +67,70 @@ def test_partitioned_scan_prunes(spark, tmp_path):
     # a non-partition filter is NOT a partition prune
     scan2 = spark.read.parquet(path).where(F.col("doc_id") < 10)
     assert not layout.scan_is_pruned(scan2, "doc_id")
+
+
+def test_zorder_key_bit_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from gtfs2lc_spark import layout
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = [
+        r["z"]
+        for r in df.select(
+            layout.zorder_key([F.col("x"), F.col("y")], bits=16).alias("z")
+        ).collect()
+    ]
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [morton(x, y) for x, y in rows]
+
+
+def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
+    """The point of Z-order: after write_zordered on (x, y), a narrow
+    predicate on EITHER dimension overlaps only a fraction of the
+    files' footer [min,max] ranges — whereas an x-sorted layout serves
+    x but makes every file a candidate for a y predicate."""
+    from pyspark.sql import functions as F
+
+    from gtfs2lc_spark import layout
+
+    # independent dimensions (full 128x128 grid): x and y must not be
+    # functionally dependent or the z-key degenerates to a 1-D curve
+    df = spark.range(20000).select(
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") / 128).cast("long") % 128).alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    xpath = str(tmp_path / "xsort")
+    layout.write_zordered(df, zpath, ["x", "y"], bits=7, n_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+
+    zx = layout.files_overlapping(zpath, "x", 0, 15)
+    zy = layout.files_overlapping(zpath, "y", 0, 15)
+    xx = layout.files_overlapping(xpath, "x", 0, 15)
+    xy = layout.files_overlapping(xpath, "y", 0, 15)
+    assert zx[1] == 16 and xy[1] == 16
+    # z-order: BOTH dimensions skip most files
+    assert zx[0] <= zx[1] // 2, (zx, zy)
+    assert zy[0] <= zy[1] // 2, (zx, zy)
+    # x-sort: x skips, y cannot
+    assert xx[0] <= 3
+    assert xy[0] == xy[1]
+    # the layouts hold identical data
+    assert (
+        spark.read.parquet(zpath).orderBy("x", "y").collect()
+        == df.orderBy("x", "y").collect()
+    )
