@@ -1297,6 +1297,19 @@ def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (CCNet/WebText style): logistic
+    regression trained by 3 deterministic full-batch GD iterations
+    (one map-side-combinable gradient aggregation per iteration,
+    weights 6-dp-rounded at every boundary so FP sum order can't
+    compound cross-engine), then one narrow scoring pass. Label:
+    lang == 'en' — the stopword-ratio feature makes it learnable."""
+    d = _load(spark, sf_dir, "documents")
+    label = F.col("lang") == "en"
+    w = text.train_quality_classifier(d, label, iters=3, lr=1.0)
+    return text.score_quality_classifier(d, w, label)
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1403,6 +1416,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "semantic_dedup": _q_semantic_dedup,
         "zorder_keys": _q_zorder_keys,
+        "quality_classifier": _q_quality_classifier,
     }
 
 
@@ -1482,6 +1496,62 @@ def _minhash_pairs_ctes(num_perm: int = 32, bands: int = 8, src: str = "document
           SELECT id_a, id_b, {jac} AS jaccard
           FROM cand JOIN sh x ON x.id = id_a JOIN sh y ON y.id = id_b
         )"""
+
+
+def _sql_quality_classifier(iters: int = 3, lr: float = 1.0) -> str:
+    """Unrolled-GD mirror of text.train_quality_classifier +
+    score_quality_classifier: identical feature rounding, identical
+    sigmoid operand order, weights rounded 6 dp per iteration — the
+    round-at-boundary contract that makes cross-engine GD exact."""
+    dim = 5
+    feats = f"""feats AS (
+      SELECT doc_id,
+        CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+        CAST(1 AS DOUBLE) AS x0,
+        round(ln(1 + n_tokens), 6) AS x1,
+        round(mean_wl, 6)/10 AS x2,
+        round(swr, 6) AS x3,
+        round(pr, 6) AS x4
+      FROM (
+        SELECT doc_id, lang, n_tokens,
+          CASE WHEN n_tokens > 0 THEN CAST(n_chars_m AS DOUBLE)/n_tokens ELSE CAST(0 AS DOUBLE) END AS mean_wl,
+          CASE WHEN n_tokens > 0 THEN CAST(sw AS DOUBLE)/n_tokens ELSE CAST(0 AS DOUBLE) END AS swr,
+          CASE WHEN n_chars_m > 0 THEN CAST(punct AS DOUBLE)/n_chars_m ELSE CAST(0 AS DOUBLE) END AS pr
+        FROM (
+          SELECT doc_id, lang,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+            length(text) AS n_chars_m,
+            {_sw_hits('en')} AS sw,
+            length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct
+          FROM documents
+        )
+      )
+    )"""
+    z = " + ".join(f"w.w{j}*f.x{j}" for j in range(dim))
+    ctes = [feats, "it0 AS (SELECT " + ", ".join(
+        f"CAST(0 AS DOUBLE) AS w{j}" for j in range(dim)
+    ) + ")"]
+    for k in range(1, iters + 1):
+        grads = ",\n          ".join(
+            f"round(max(w{j}) - {lr} * sum((s - y) * x{j}) / count(*), 6) AS w{j}"
+            for j in range(dim)
+        )
+        ctes.append(f"""it{k} AS (
+          SELECT {grads}
+          FROM (
+            SELECT f.*, {', '.join(f'w.w{j}' for j in range(dim))},
+                   1/(1 + exp(-(CAST(0 AS DOUBLE) + {z}))) AS s
+            FROM feats f CROSS JOIN it{k - 1} w
+          )
+        )""")
+    zf = " + ".join(f"w.w{j}*f.x{j}" for j in range(dim))
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT f.doc_id, f.y AS label,
+               round(1/(1 + exp(-(CAST(0 AS DOUBLE) + {zf}))), 6) AS p_keep
+        FROM feats f CROSS JOIN it{iters} w
+    """
 
 
 def _sql_minhash_neardup(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> str:
@@ -2570,6 +2640,7 @@ def oracle_sql() -> dict[str, str]:
                    (l.vec_id IS NULL) AS is_kept
             FROM assign s LEFT JOIN losers l ON s.vec_id = l.vec_id
         """,
+        "quality_classifier": _sql_quality_classifier(),
         "zorder_keys": """
             WITH b AS (
               SELECT event_id, CAST(user_id AS BIGINT) AS user_id,

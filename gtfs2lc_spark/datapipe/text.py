@@ -1292,3 +1292,87 @@ def stratified_sample(
         )
         .drop("_rk", "_n")
     )
+
+
+def _classifier_features(df: DataFrame, label: Column, text_col: str = "text") -> DataFrame:
+    """Fixed (data-independent) feature map for the quality classifier:
+    [1, ln(1+n_tokens), mean_word_len/10, stopword_ratio, punct_ratio],
+    built on quality_features' 6-dp-rounded columns so both engines
+    start each GD iteration from bit-identical inputs."""
+    q = quality_features(df, text_col)
+    return q.select(
+        "*",
+        label.cast("double").alias("_y"),
+        F.lit(1.0).alias("_x0"),
+        F.round(F.log(F.lit(1.0) + F.col("n_tokens")), 6).alias("_x1"),
+        (F.col("mean_word_len") / 10).alias("_x2"),
+        F.col("stopword_ratio").alias("_x3"),
+        F.col("punct_ratio").alias("_x4"),
+    )
+
+
+_CLF_DIM = 5
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    iters: int = 3,
+    lr: float = 1.0,
+) -> list[float]:
+    """Train a logistic-regression quality classifier (the CCNet /
+    WebText-style model-based corpus filter) with deterministic
+    full-batch gradient descent — the distributed-training shape, not
+    a library call: each iteration is ONE map-side-combinable
+    aggregation over the corpus (sum of per-row gradient terms — the
+    treeAggregate pattern of MLlib's own LBFGS), shuffling exactly
+    ``dim+1`` doubles; the driver holds only the weight vector.
+
+    Determinism contract: weights are rounded to 6 dp at every
+    iteration boundary, so the two engines' FP sum-order differences
+    (~1e-13 on corpus-scale sums) are quantized away instead of
+    compounding — the same round-at-boundary trick the PageRank
+    operator uses. spark.ml.LogisticRegression exists but is neither
+    iteration-deterministic nor oracle-mirrorable; this is, and three
+    fixed iterations are the contract.
+
+    Scale note: ``iters+1`` corpus scans total (one per iteration plus
+    scoring) — cache/materialize the input upstream if the feature
+    computation is expensive.
+    """
+    feats = _classifier_features(df, label, text_col)
+    w = [0.0] * _CLF_DIM
+    xs = [F.col(f"_x{j}") for j in range(_CLF_DIM)]
+    for _ in range(int(iters)):
+        z = sum((F.lit(w[j]) * xs[j] for j in range(_CLF_DIM)), F.lit(0.0))
+        s = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = feats.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum((s - F.col("_y")) * xs[j]).alias(f"_g{j}") for j in range(_CLF_DIM)],
+        ).collect()[0]
+        n = float(row["_n"])
+        w = [round(w[j] - lr * float(row[f"_g{j}"]) / n, 6) for j in range(_CLF_DIM)]
+    return w
+
+
+def score_quality_classifier(
+    df: DataFrame,
+    weights: list[float],
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under trained weights: one narrow codegen pass,
+    p_keep = sigmoid(w . x) rounded 6 dp. Returns
+    (id_col, label, p_keep)."""
+    feats = _classifier_features(df, label, text_col)
+    z = sum(
+        (F.lit(float(weights[j])) * F.col(f"_x{j}") for j in range(_CLF_DIM)),
+        F.lit(0.0),
+    )
+    return feats.select(
+        id_col,
+        F.col("_y").alias("label"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("p_keep"),
+    )

@@ -804,3 +804,36 @@ def test_semantic_dedup_kmeans_init_runs(spark):
     rows = out.collect()
     assert len(rows) == e.count()
     assert {r["is_kept"] for r in rows} <= {True, False}
+
+
+def test_quality_classifier_learns_separation(spark):
+    # English-looking docs (heavy stopword ratio) vs consonant salad:
+    # after a few GD iterations the mean score of the positive class
+    # must clearly exceed the negative class — the classifier learns,
+    # not just runs.
+    en = "the cat and the dog are in the house and it is warm for all of them"
+    xx = "zxq vrk pflm wrtz qqv bnmx ljkr tzzv qpw mnvx zzkr vvbn xqzt rrwp"
+    rows = [(i, en + f" extra{i}") for i in range(20)] + [
+        (100 + i, xx + f" junk{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    label = F.col("doc_id") < 100
+    w = text.train_quality_classifier(df, label, iters=50, lr=2.0)
+    scored = text.score_quality_classifier(df, w, label)
+    means = {
+        r["label"]: r["m"]
+        for r in scored.groupBy("label").agg(F.avg("p_keep").alias("m")).collect()
+    }
+    assert means[1.0] > 0.8 > 0.2 > means[0.0], means
+    # every weight is 6-dp quantized (the determinism contract)
+    assert all(round(x, 6) == x for x in w)
+
+
+def test_quality_classifier_deterministic(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    label = F.col("lang") == "en"
+    w1 = text.train_quality_classifier(d, label, iters=3, lr=1.0)
+    w2 = text.train_quality_classifier(
+        d.repartition(7), label, iters=3, lr=1.0
+    )
+    assert w1 == w2  # partitioning must not change the trained model
