@@ -1310,6 +1310,41 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.score_quality_classifier(d, w, label)
 
 
+def _q_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window: per event, the same user's event
+    count and value sum over the trailing hour (inclusive, tie-safe
+    RANGE semantics) — one user-keyed exchange, two-pointer frame
+    scan."""
+    from gtfs2lc_spark.datapipe import events as ev
+
+    e = _load(spark, sf_dir, "events")
+    return ev.trailing_stats(e, window_seconds=3600)
+
+
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked interval-overlap join (no cartesian): 10-minute
+    activity intervals after each click overlap-joined against
+    10-minute incident intervals after each error."""
+    from gtfs2lc_spark.datapipe import events as ev
+    from gtfs2lc_spark.datapipe.events import _micros
+
+    e = _load(spark, sf_dir, "events")
+    sec = (_micros(F.col("ts")) / F.lit(1_000_000).cast("bigint")).cast("long")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        sec.alias("l_start"),
+        (sec + 600).alias("l_end"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        sec.alias("r_start"),
+        (sec + 600).alias("r_end"),
+    )
+    return ev.interval_overlap_join(clicks, errors, bucket_seconds=900).select(
+        "click_id", "error_id"
+    )
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1417,6 +1452,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "zorder_keys": _q_zorder_keys,
         "quality_classifier": _q_quality_classifier,
+        "trailing_stats": _q_trailing_stats,
+        "interval_join": _q_interval_join,
     }
 
 
@@ -2641,6 +2678,32 @@ def oracle_sql() -> dict[str, str]:
             FROM assign s LEFT JOIN losers l ON s.vec_id = l.vec_id
         """,
         "quality_classifier": _sql_quality_classifier(),
+        "trailing_stats": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) // 1000000 AS epoch_sec,
+                   count(*) OVER w AS n_trailing,
+                   round(sum(value) OVER w, 6) AS sum_value_trailing
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "interval_join": """
+            WITH c AS (
+              SELECT event_id AS click_id,
+                     epoch_us(ts) // 1000000 AS l_start,
+                     epoch_us(ts) // 1000000 + 600 AS l_end
+              FROM events WHERE event_type = 'click'
+            ), e AS (
+              SELECT event_id AS error_id,
+                     epoch_us(ts) // 1000000 AS r_start,
+                     epoch_us(ts) // 1000000 + 600 AS r_end
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT click_id, error_id
+            FROM c JOIN e ON l_start <= r_end AND r_start <= l_end
+        """,
         "zorder_keys": """
             WITH b AS (
               SELECT event_id, CAST(user_id AS BIGINT) AS user_id,

@@ -393,3 +393,91 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def trailing_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Per-event TRAILING aggregate over a time-range frame: for every
+    event, the count and value-sum of the same user's events in the
+    preceding ``window_seconds`` (inclusive of the current row and of
+    same-second ties — RANGE frame semantics, which both engines
+    define identically; a ROWS frame would be tie-order ambiguous).
+
+    This is the remaining window-frame surface: W1-W4 use lag/lead and
+    unbounded running frames; this is ``Window.rangeBetween`` on an
+    integer event-time key — sliding feature windows (fraud velocity
+    checks, rate limits, rolling engagement) without self-joins.
+    One user-keyed exchange; frame evaluation is a per-partition
+    two-pointer scan, never quadratic.
+    """
+    sec = (_micros(F.col(ts_col)) / F.lit(1_000_000).cast("bigint")).cast("long")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(sec)
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    return events.select(
+        id_col,
+        user_col,
+        sec.alias("epoch_sec"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
+        F.round(F.sum(F.col(value_col)).over(w), 6).alias("sum_value_trailing"),
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    bucket_seconds: int = 3600,
+    how_cols: tuple = (),
+) -> DataFrame:
+    """Generic interval-overlap (range) join without a cartesian
+    product: every interval explodes to the fixed-width time buckets
+    it covers, candidates meet through a bucket equi-join, the exact
+    overlap predicate verifies, and whole-row distinct removes the
+    multi-bucket double-counts. Overlap is the closed-interval test
+    ``l_start <= r_end AND r_start <= l_end`` (integer units).
+
+    Per-row fan-out is ``len/bucket_seconds + 1`` — pick the bucket
+    near the TYPICAL interval length: too small multiplies the
+    explode, too large turns a bucket into a mini cross product (a
+    bucket's cost is |left∩bucket| x |right∩bucket|, the same
+    locality economics as the geo grid join). Columns listed in
+    ``how_cols`` additionally equi-join (e.g. a tenant key), tightening
+    the blocking for free.
+
+    Start/end columns must be integer epoch units (callers produce
+    them via ``_micros``-style exact arithmetic).
+    """
+    b = int(bucket_seconds)
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bk",
+            F.explode(
+                F.sequence(
+                    (F.col(s) / b).cast("long"), (F.col(e) / b).cast("long")
+                )
+            ),
+        )
+    lb = bucketed(left, l_start, l_end)
+    rb = bucketed(right, r_start, r_end)
+    on = ["_bk", *how_cols]
+    return (
+        lb.join(rb, on)
+        .where(
+            (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+        )
+        .drop("_bk")
+        .distinct()
+    )

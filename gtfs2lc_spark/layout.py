@@ -195,3 +195,48 @@ def files_overlapping(path: str, col: str, lo, hi) -> tuple[int, int]:
         if fmin is None or (fmax >= lo and fmin <= hi):
             hit += 1
     return hit, len(files)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction (the OPTIMIZE half of OPTIMIZE ZORDER):
+    rewrite a parquet directory into ``ceil(bytes / target_mb)`` files,
+    optionally re-sorted (pass the Z-order/sort key to restore
+    clustering the small writes destroyed). Streaming sinks and
+    per-batch overwrites accrete thousands of KB-files; every
+    downstream scan then pays one task + one footer per file — at
+    10^6 files the LISTING dominates the query. Compaction is the
+    write-once fix, run at batch barriers.
+
+    Returns (files_before, files_after). The rewrite goes through a
+    temp dir + atomic-ish swap (write, delete original, rename), so a
+    crash leaves either the original or the compacted copy readable —
+    mirrors the staging-dir discipline in materialize.py.
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    files = [
+        f
+        for f in fs.listStatus(p)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    n_before = len(files)
+    total = sum(f.getLen() for f in files)
+    n_after = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_after, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.coalesce(n_after)
+    tmp = path.rstrip("/") + "_compacting"
+    df.write.mode("overwrite").parquet(tmp)
+    fs.delete(p, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+    return n_before, n_after

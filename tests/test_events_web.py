@@ -336,3 +336,82 @@ def test_url_filter_port_query_and_schemeless(spark):
         ).collect()
     }
     assert audited == {1: "domain", 2: "pass", 3: "pass", 4: "path"}
+
+
+def test_trailing_stats_range_frame_and_ties(spark):
+    import datetime
+
+    from gtfs2lc_spark.datapipe import events as ev
+
+    ts = datetime.datetime.fromisoformat
+    rows = [
+        # user 1: 00:00, 00:30, 01:00 (exactly at the 3600s boundary:
+        # RANGE 3600 PRECEDING is inclusive), 02:30 (window slid past)
+        (1, ts("2026-01-01T00:00:00"), 1, "a", 1.0, ""),
+        (2, ts("2026-01-01T00:30:00"), 1, "a", 2.0, ""),
+        (3, ts("2026-01-01T01:00:00"), 1, "a", 4.0, ""),
+        (4, ts("2026-01-01T02:30:00"), 1, "a", 8.0, ""),
+        # user 2: two events in the SAME second — RANGE frame includes
+        # the tie for BOTH rows
+        (5, ts("2026-01-01T00:00:00"), 2, "a", 1.0, ""),
+        (6, ts("2026-01-01T00:00:00"), 2, "a", 2.0, ""),
+    ]
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["event_id"]: (r["n_trailing"], r["sum_value_trailing"])
+        for r in ev.trailing_stats(df, window_seconds=3600).collect()
+    }
+    assert got[1] == (1, 1.0)
+    assert got[2] == (2, 3.0)
+    assert got[3] == (3, 7.0)   # 01:00 still sees 00:00 (inclusive bound)
+    assert got[4] == (1, 8.0)   # slid past everything
+    assert got[5] == (2, 3.0) and got[6] == (2, 3.0)  # same-second ties
+
+
+def test_interval_overlap_join_exact_and_blocking_lossless(spark):
+    from gtfs2lc_spark.datapipe import events as ev
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 1000, 1100), (3, 5000, 5100)],
+        ["lid", "l_start", "l_end"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, 150),    # touches interval 1 exactly at its end (closed)
+            (11, 101, 150),    # starts 1 past interval 1's end -> no overlap
+            (12, 900, 1000),   # touches interval 2 at its start across a bucket line
+            (13, 4000, 4999),  # ends 1 before interval 3 -> no overlap
+        ],
+        ["rid", "r_start", "r_end"],
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in ev.interval_overlap_join(left, right, bucket_seconds=64).collect()
+    }
+    assert got == {(1, 10), (2, 12)}
+    # a one-bucket config must give the same answer (blocking lossless)
+    got_wide = {
+        (r["lid"], r["rid"])
+        for r in ev.interval_overlap_join(left, right, bucket_seconds=10**6).collect()
+    }
+    assert got_wide == got
+
+
+def test_interval_overlap_join_plan_no_cartesian(spark):
+    from gtfs2lc_spark.datapipe import events as ev
+
+    left = spark.range(100).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 60).alias("l_start"),
+        (F.col("id") * 60 + 30).alias("l_end"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 45).alias("r_start"),
+        (F.col("id") * 45 + 30).alias("r_end"),
+    )
+    plan = ev.interval_overlap_join(left, right, bucket_seconds=300)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

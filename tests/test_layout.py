@@ -134,3 +134,21 @@ def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
         spark.read.parquet(zpath).orderBy("x", "y").collect()
         == df.orderBy("x", "y").collect()
     )
+
+
+def test_compact_files_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "shards")
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) == 64
+    before, after = layout.compact_files(spark, path, target_mb=128, sort_cols=["k"])
+    assert before == 64 and after == 1
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) == 1
+    got = spark.read.parquet(path).orderBy("id").collect()
+    want = df.orderBy("id").collect()
+    assert got == want
