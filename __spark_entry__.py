@@ -1345,6 +1345,33 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-corpus approximate kNN graph: LSH-bucketed self-equi-join
+    (nothing broadcast — both sides corpus-scale), exact cosine within
+    buckets, per-node top-3."""
+    e = _load(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return similarity.knn_graph(e, dim=dim, k=3, n_planes=6)
+
+
+def _q_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: top-10 hottest user_id keys with share
+    and cumulative share — the measurement that triggers salted_agg /
+    salted_join before a straggler does."""
+    from gtfs2lc_spark import skew
+
+    e = _load(spark, sf_dir, "events")
+    return skew.key_profile(e, "user_id", top_n=10)
+
+
+def _q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: per-doc out-of-vocabulary token mass under
+    the corpus's own top-16 token vocabulary (deterministic count-desc
+    term-asc boundary)."""
+    d = _load(spark, sf_dir, "documents")
+    return text.oov_rate(d, vocab_size=16)
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1454,6 +1481,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "trailing_stats": _q_trailing_stats,
         "interval_join": _q_interval_join,
+        "knn_graph": _q_knn_graph,
+        "key_profile": _q_key_profile,
+        "oov_rate": _q_oov_rate,
     }
 
 
@@ -1533,6 +1563,29 @@ def _minhash_pairs_ctes(num_perm: int = 32, bands: int = 8, src: str = "document
           SELECT id_a, id_b, {jac} AS jaccard
           FROM cand JOIN sh x ON x.id = id_a JOIN sh y ON y.id = id_b
         )"""
+
+
+def _sql_knn_graph(k: int = 3, n_planes: int = 6, seed: int = 7, dim: int = 64) -> str:
+    """Mirror of similarity.knn_graph: identical hyperplane literals,
+    bucket self-equi-join over ALL vectors, per-node top-k."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    bucket = _duck_bucket("embedding", planes)
+    return f"""
+        WITH c AS (
+          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ),
+        scored AS (
+          SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+                 round({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+          FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY node_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT node_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
 
 
 def _sql_quality_classifier(iters: int = 3, lr: float = 1.0) -> str:
@@ -2678,6 +2731,43 @@ def oracle_sql() -> dict[str, str]:
             FROM assign s LEFT JOIN losers l ON s.vec_id = l.vec_id
         """,
         "quality_classifier": _sql_quality_classifier(),
+        "knn_graph": _sql_knn_graph(),
+        "key_profile": """
+            WITH c AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+              FROM events GROUP BY 1
+            ), tot AS (SELECT sum(n_rows) AS t FROM c),
+            top AS (
+              SELECT key, n_rows,
+                     row_number() OVER (ORDER BY n_rows DESC, key ASC) AS rank
+              FROM c ORDER BY n_rows DESC, key ASC LIMIT 10
+            )
+            SELECT rank, key, n_rows,
+                   round(CAST(n_rows AS DOUBLE) / t, 6) AS share,
+                   round(CAST(sum(n_rows) OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t, 6)
+                     AS cum_share
+            FROM top CROSS JOIN tot
+        """,
+        "oov_rate": """
+            WITH tok AS (
+              SELECT doc_id, t AS term
+              FROM documents,
+                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+              WHERE t <> ''
+            ), cnt AS (
+              SELECT term, count(*) AS c FROM tok GROUP BY 1
+            ), vocab AS (
+              SELECT term FROM cnt ORDER BY c DESC, term ASC LIMIT 16
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS oov_rate
+            FROM tok LEFT JOIN vocab v USING (term)
+            GROUP BY doc_id
+        """,
         "trailing_stats": """
             SELECT event_id, user_id,
                    epoch_us(ts) // 1000000 AS epoch_sec,

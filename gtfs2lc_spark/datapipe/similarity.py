@@ -509,3 +509,55 @@ def semantic_dedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-corpus approximate kNN GRAPH — the neighbor structure that
+    graph clustering (kNN graph -> connected components / communities)
+    and SemDeDup-scale analyses consume. Same semantics as
+    ``lsh_topk(corpus, corpus)`` but re-planned for a corpus-sized
+    query side: NOTHING is broadcast — the corpus is hashed once
+    (narrow), then self-equi-joins on the bucket key (both sides
+    shuffle once on ``bucket``), exact cosine scores only within-bucket
+    pairs, and the per-node top-k window partitions on the node id.
+
+    Bucket-size economics are the LSH dial: expected bucket size is
+    ``n / 2^n_planes``, and per-bucket cost is quadratic in it — at
+    10^10 vectors, ~26 planes keep buckets in the hundreds. Recall
+    rises with fewer planes (bigger buckets); measure with ann_recall
+    before committing a (planes, k) config to a full run.
+
+    Output: (node_id, neighbor_id, cosine, rank), rank 1..k per node
+    (nodes sharing a bucket with < 1 other vector emit nothing —
+    disconnected under this hash; multi-probe or a second seed pass
+    fills coverage).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a = c.select("bucket", F.col("id").alias("node_id"), F.col("v").alias("nvec"))
+    b = c.select("bucket", F.col("id").alias("neighbor_id"), F.col("v").alias("cvec"))
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("node_id") != F.col("neighbor_id"))
+        .select(
+            "node_id",
+            "neighbor_id",
+            F.round(cosine(F.col("nvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("node_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("node_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1376,3 +1376,54 @@ def score_quality_classifier(
         F.col("_y").alias("label"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("p_keep"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage report: the vocabulary is the
+    corpus's own ``vocab_size`` most frequent tokens (count desc, term
+    asc — a deterministic boundary), and each document reports how
+    much of it falls outside (out-of-vocabulary tokens get split into
+    many subword pieces or <unk>, so corpus-level OOV mass is the
+    go/no-go number before committing a tokenizer).
+
+    Plan shape: one map-side-combinable token count (the shuffle
+    carries one row per DISTINCT term), a top-N pick that compiles to
+    TakeOrderedAndProject, the vocabulary broadcast back against the
+    exploded token stream (fact side never shuffles for the
+    membership test), one doc-keyed aggregation. Documents with zero
+    alpha tokens emit no row (nothing to cover).
+
+    Output: (id_col, n_tokens, n_oov, oov_rate) — token counts are
+    non-distinct (mass, not types).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("term"))
+        .limit(int(vocab_size))
+        .select("term", F.lit(True).alias("_iv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

@@ -16,7 +16,7 @@ introduced by this port's target scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,3 +103,47 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(int(n_salts))]))
     )
     return salted_big.join(replicated, [on, "_salt"], how).drop("_salt")
+
+
+def key_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/agg-key distribution profiler — the measurement that decides
+    whether a key needs :func:`salted_agg`/:func:`salted_join` BEFORE
+    the straggler burns an hour at 100 TB. One map-side-combinable
+    count per key (the shuffle carries one row per DISTINCT key), a
+    1-row broadcast total, and a TOP-N pick that compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort
+    exchange); the cumulative share is a window over the N returned
+    rows only.
+
+    Output: (rank, key [stringified], n_rows, share, cum_share) for
+    the ``top_n`` hottest keys — ``share`` near 1/parallelism means
+    one task will own that key's whole partition; that is the salt
+    signal.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    top = (
+        counts.orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(int(top_n))
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.desc("n_rows"), F.asc("key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_rows"), F.asc("key")))
+        .cast("long")
+        .alias("rank"),
+        "key",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        F.round(F.sum("n_rows").over(w) / F.col("_total"), 6).alias("cum_share"),
+    )

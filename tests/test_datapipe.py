@@ -837,3 +837,64 @@ def test_quality_classifier_deterministic(spark):
         d.repartition(7), label, iters=3, lr=1.0
     )
     assert w1 == w2  # partitioning must not change the trained model
+
+
+def test_knn_graph_matches_lsh_topk_semantics(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    g = {
+        (r["node_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.knn_graph(e, dim=dim, k=2, n_planes=4).collect()
+    }
+    # same answers as lsh_topk with the corpus as its own query set
+    # (the broadcast variant) — knn_graph is the no-broadcast re-plan
+    lt = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.lsh_topk(e, e, dim=dim, k=2, n_planes=4).collect()
+    }
+    assert g == lt and len(g) > 0
+
+
+def test_knn_graph_plan_no_cartesian(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        similarity.knn_graph(e, dim=64, k=2, n_planes=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_key_profile_shares_and_order(spark):
+    from gtfs2lc_spark import skew
+
+    rows = [(i, "hot") for i in range(80)] + [
+        (100 + i, f"k{i % 4}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    prof = skew.key_profile(df, "k", top_n=3).collect()
+    assert [r["rank"] for r in prof] == [1, 2, 3]
+    assert prof[0]["key"] == "hot" and prof[0]["n_rows"] == 80
+    assert prof[0]["share"] == 0.8
+    assert prof[1]["n_rows"] == 5  # k0..k3 tie at 5; term-asc tiebreak
+    assert prof[1]["key"] == "k0" and prof[2]["key"] == "k1"
+    assert prof[2]["cum_share"] == 0.9
+
+
+def test_oov_rate_vocab_boundary(spark):
+    # corpus counts: aa x4, bb x3, cc x2 -> vocab_size=2 keeps {aa, bb}
+    rows = [
+        (1, "aa aa bb cc"),
+        (2, "aa aa bb bb cc"),
+        (3, "zz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in text.oov_rate(df, vocab_size=2).collect()
+    }
+    assert got[1] == (4, 1, 0.25)
+    assert got[2] == (5, 1, 0.2)
+    assert got[3] == (1, 1, 1.0)  # fully OOV doc still reports
