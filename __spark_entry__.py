@@ -1372,6 +1372,22 @@ def _q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.oov_rate(d, vocab_size=16)
 
 
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-style scalar quantization: per-dimension corpus min/max
+    grid (broadcast), floor(+0.5) code mapping (engine-identical
+    rounding), codes reassembled + worst-case dequantization error in
+    one vec-keyed pass."""
+    e = _load(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(e, levels=255)
+
+
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish filter via H = ln(n) - sum(c ln c)/n
+    — one explode, one map-side-combinable count, one doc rollup."""
+    d = _load(spark, sf_dir, "documents")
+    return text.char_entropy(d)
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1484,6 +1500,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _q_knn_graph,
         "key_profile": _q_key_profile,
         "oov_rate": _q_oov_rate,
+        "embedding_quantize": _q_embedding_quantize,
+        "char_entropy": _q_char_entropy,
     }
 
 
@@ -2732,6 +2750,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_classifier": _sql_quality_classifier(),
         "knn_graph": _sql_knn_graph(),
+        "embedding_quantize": """
+            WITH e AS (
+              SELECT vec_id, g.pos - 1 AS pos,
+                     CAST(embedding[g.pos] AS DOUBLE) AS val
+              FROM embeddings,
+                   UNNEST(generate_series(1, len(embedding))) AS g(pos)
+            ), grid AS (
+              SELECT pos, min(val) AS lo, max(val) AS hi FROM e GROUP BY 1
+            ), q AS (
+              SELECT vec_id, e.pos, val, lo, hi,
+                CASE WHEN hi = lo THEN 0
+                     ELSE CAST(floor((val - lo) / (hi - lo) * 254 + 0.5) AS BIGINT)
+                END AS code
+              FROM e JOIN grid USING (pos)
+            ), d AS (
+              SELECT vec_id, pos, code,
+                abs(CASE WHEN hi = lo THEN lo
+                         ELSE lo + code / 254.0 * (hi - lo) END - val) AS err
+              FROM q
+            )
+            SELECT vec_id,
+                   list_transform(
+                     list_sort(list(ROW(pos, code))), s -> s[2]) AS qvec,
+                   round(max(err), 6) AS max_abs_err
+            FROM d GROUP BY vec_id
+        """,
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, c
+              FROM documents, UNNEST(string_split(text, '')) AS u(c)
+              WHERE c <> ''
+            ), cnt AS (
+              SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_chars_h,
+                   round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+            FROM cnt GROUP BY doc_id
+        """,
         "key_profile": """
             WITH c AS (
               SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows

@@ -561,3 +561,71 @@ def knn_graph(
         .where(F.col("rank") <= k)
         .select("node_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def quantize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Scalar (int8-style) embedding quantization — the storage/IO
+    lever that makes 10^10-vector ANN affordable: per-DIMENSION
+    min/max over the corpus define a linear grid of ``levels`` codes;
+    each component maps to ``floor((v-min)/(max-min)*(levels-1)+0.5)``
+    (explicit floor(+0.5) so both engines round identically).
+
+    Plan shape: one posexplode pass + a (pos)-keyed min/max
+    aggregation (dim rows out — map-side combinable), the dim-row
+    grid BROADCAST back onto the exploded components (the fact side
+    never shuffles for the quantize), and ONE vec-keyed groupBy
+    reassembles code arrays in position order while folding the
+    reconstruction error in the same pass. A constant dimension gets
+    code 0 and reconstructs exactly (max == min guard).
+
+    Output: (id_col, qvec array<long> of codes, max_abs_err — the
+    per-vector worst-case dequantization error, rounded 6 dp).
+    """
+    lv = float(levels - 1)
+    e = corpus.select(
+        F.col(id_col),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    grid = e.groupBy("pos").agg(
+        F.min("val").alias("_lo"), F.max("val").alias("_hi")
+    )
+    q = (
+        e.join(F.broadcast(grid), "pos")
+        .withColumn(
+            "code",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+                F.floor(
+                    (F.col("val") - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo"))
+                    * F.lit(lv)
+                    + F.lit(0.5)
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "_deq",
+            F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(
+                F.col("_lo")
+                + F.col("code") / F.lit(lv) * (F.col("_hi") - F.col("_lo"))
+            ),
+        )
+    )
+    return (
+        q.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("code")))
+            ).alias("_pc"),
+            F.max(F.abs(F.col("_deq") - F.col("val"))).alias("_err"),
+        )
+        .select(
+            id_col,
+            F.transform("_pc", lambda s: s["code"]).alias("qvec"),
+            F.round("_err", 6).alias("max_abs_err"),
+        )
+    )

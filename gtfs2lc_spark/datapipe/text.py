@@ -1427,3 +1427,38 @@ def oov_rate(
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the
+    gibberish/compression-junk filter: natural text sits ~2.5-3.2,
+    base64 blobs and repeated-char padding fall far outside. Uses the
+    identity H = ln(n) - sum(c*ln(c))/n over per-character counts, so
+    the whole operator is ONE char explode + a (doc, char)
+    map-side-combinable count + ONE doc-keyed rollup — no p_i column,
+    no second pass. Empty documents emit no row.
+
+    Output: (id_col, n_chars_h, entropy rounded 6 dp).
+    """
+    ch = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = ch.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_chars_h"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("_clnc"),
+        )
+        .select(
+            id_col,
+            "n_chars_h",
+            F.round(
+                F.log(F.col("n_chars_h")) - F.col("_clnc") / F.col("n_chars_h"), 6
+            ).alias("entropy"),
+        )
+    )

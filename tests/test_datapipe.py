@@ -898,3 +898,40 @@ def test_oov_rate_vocab_boundary(spark):
     assert got[1] == (4, 1, 0.25)
     assert got[2] == (5, 1, 0.2)
     assert got[3] == (1, 1, 1.0)  # fully OOV doc still reports
+
+
+def test_quantize_embeddings_grid_and_error(spark):
+    rows = [
+        (1, [0.0, 7.0]),
+        (2, [5.0, 7.0]),
+        (3, [10.0, 7.0]),
+        (4, [2.0, 7.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: (r["qvec"], r["max_abs_err"])
+        for r in similarity.quantize_embeddings(df, levels=255).collect()
+    }
+    # dim 0: lo=0 hi=10; dim 1 constant -> code 0, exact reconstruction
+    assert got[1][0] == [0, 0] and got[1][1] == 0.0
+    assert got[3][0] == [254, 0] and got[3][1] == 0.0
+    assert got[2][0] == [127, 0]  # floor(5/10*254 + 0.5) = 127
+    # value 2 -> code 51, dequant 51/254*10 = 2.007874 -> err 0.007874
+    assert got[4][0] == [51, 0]
+    assert got[4][1] == 0.007874
+    # all codes in range
+    for qv, _ in got.values():
+        assert all(0 <= c <= 254 for c in qv)
+
+
+def test_char_entropy_closed_form(spark):
+    rows = [(1, "aaaa"), (2, "ab"), (3, "aabb"), (4, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_chars_h"], r["entropy"])
+        for r in text.char_entropy(df).collect()
+    }
+    assert got[1] == (4, 0.0)
+    assert got[2] == (2, round(math.log(2), 6))
+    assert got[3] == (4, round(math.log(2), 6))
+    assert 4 not in got  # empty doc emits no row
