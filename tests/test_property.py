@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis): the operators with the richest
+edge-case structure — duplicated-span detection, interval joins,
+stratified sampling — checked against brute-force reference models on
+randomized inputs. Few examples (Spark jobs are ~1 s each), but each
+example exercises merging/boundary structure no hand fixture would."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from gtfs2lc_spark.datapipe import dedup, events, text
+
+_SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _brute_spans(texts: dict, L: int):
+    """Reference model: all duplicated L-gram positions (corpus-wide,
+    overlap-counted within a doc too), merged into maximal intervals."""
+    from collections import Counter
+
+    counts = Counter()
+    for t in texts.values():
+        for i in range(len(t) - L + 1):
+            counts[t[i : i + L]] += 1
+    want = set()
+    for did, t in texts.items():
+        dup_pos = [
+            i + 1
+            for i in range(len(t) - L + 1)
+            if counts[t[i : i + L]] > 1
+        ]
+        spans = []
+        for p in dup_pos:
+            if spans and p - spans[-1][1] <= L:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        for a, b in spans:
+            want.add((did, a, b + L - 1, b + L - a))
+    return want
+
+
+@_SET
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=24), min_size=1, max_size=5
+    ),
+    L=st.integers(min_value=3, max_value=6),
+)
+def test_duplicated_spans_matches_brute_force(spark, texts, L):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in dedup.duplicated_spans(df, min_len=L).collect()
+    }
+    assert got == _brute_spans(dict(rows), L)
+
+
+@_SET
+@given(
+    ls=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 120)),
+        min_size=1,
+        max_size=8,
+    ),
+    rs=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 120)),
+        min_size=1,
+        max_size=8,
+    ),
+    bucket=st.integers(min_value=7, max_value=300),
+)
+def test_interval_overlap_join_matches_brute_force(spark, ls, rs, bucket):
+    left = spark.createDataFrame(
+        [(i, a, a + w) for i, (a, w) in enumerate(ls)],
+        ["lid", "l_start", "l_end"],
+    )
+    right = spark.createDataFrame(
+        [(i, a, a + w) for i, (a, w) in enumerate(rs)],
+        ["rid", "r_start", "r_end"],
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in events.interval_overlap_join(
+            left, right, bucket_seconds=bucket
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (a, w) in enumerate(ls)
+        for j, (b, v) in enumerate(rs)
+        if a <= b + v and b <= a + w
+    }
+    assert got == want
+
+
+@_SET
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=5),
+    frac=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_stratified_sample_exact_ceil_everywhere(spark, sizes, frac):
+    rows = []
+    i = 0
+    for s, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((i, f"s{s}"))
+            i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    by = {
+        r["lang"]: r["n"]
+        for r in text.stratified_sample(df, strata_col="lang", fraction=frac)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by == {f"s{s}": math.ceil(n * frac) for s, n in enumerate(sizes)}
