@@ -538,6 +538,7 @@ def duplicated_spans(
     text_col: str = "text",
     min_len: int = 40,
     hash_prefilter: bool = True,
+    materialize_positions: bool = True,
 ) -> DataFrame:
     """EXACT duplicated-substring span detection (the ExactSubstr
     dedup of Lee et al. 2022, "Deduplicating Training Data Makes
@@ -576,6 +577,15 @@ def duplicated_spans(
     is exposed; for a corpus with a pathological mega-duplicate,
     route stage 2 through ``skew.salted_join(..., how='left_semi')``.
 
+    ``materialize_positions`` (default True): the position set feeds
+    FOUR plan branches (hash count, hash probe, substring count,
+    substring probe) and Catalyst does not share subtrees, so without
+    a lineage cut the corpus-wide explode executes four times — the
+    dominant narrow cost. materialize() cuts it to one explode at the
+    price of construction-time jobs (and storage for the position
+    set); pass False to keep the operator fully lazy for plan
+    composition.
+
     Output: one row per maximal duplicated span —
     (id_col, span_start [1-based], span_end [inclusive], span_len).
     """
@@ -590,6 +600,10 @@ def duplicated_spans(
         )
         .select(id_col, "pos", F.expr(f"substr(_t, pos, {L})").alias("_s"))
     )
+    if materialize_positions:
+        from ..materialize import materialize
+
+        sh = materialize(sh, "dup-spans-positions")
     if hash_prefilter:
         dup_h = (
             sh.groupBy(F.xxhash64("_s").alias("_h"))
@@ -658,32 +672,36 @@ def minhash_recall(
     the hit count is still computed by an explicit pair join rather
     than assumed.
 
+    Plan shape: each of the two expensive pipelines appears exactly
+    ONCE — truth and found meet in a single full-outer pair join and
+    all three counts come out of one aggregation over it (separate
+    count branches would re-execute both pipelines per count).
+
     Output: ONE row (n_truth, n_found, n_hit, recall) — recall =
     n_hit / n_truth (1.0 for an empty truth set: nothing to find).
     """
     truth = setsim_join(
         df, id_col, text_col, threshold=threshold, shingle_k=shingle_k
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b", F.lit(1).alias("_t"))
     found = minhash_near_duplicates(
         df, id_col, text_col, threshold, num_perm, bands, shingle_k, hash_fn
-    ).select("id_a", "id_b")
-    hit = found.join(truth, ["id_a", "id_b"], "left_semi")
-    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    nf = found.agg(F.count(F.lit(1)).alias("n_found"))
-    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
-    return (
-        nt.crossJoin(nf)
-        .crossJoin(nh)
-        .select(
-            "n_truth",
-            "n_found",
-            "n_hit",
-            F.when(F.col("n_truth") == 0, F.lit(1.0))
-            .otherwise(
-                F.round(
-                    F.col("n_hit").cast("double") / F.col("n_truth").cast("double"), 6
-                )
+    ).select("id_a", "id_b", F.lit(1).alias("_f"))
+    both = truth.join(found, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("_f"), F.lit(0)).cast("long").alias("n_found"),
+        F.coalesce(F.sum(F.col("_t") * F.col("_f")), F.lit(0))
+        .cast("long")
+        .alias("n_hit"),
+    ).select(
+        "n_truth",
+        "n_found",
+        "n_hit",
+        F.when(F.col("n_truth") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth").cast("double"), 6
             )
-            .alias("recall"),
         )
+        .alias("recall"),
     )

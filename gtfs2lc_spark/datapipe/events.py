@@ -443,9 +443,15 @@ def interval_overlap_join(
 ) -> DataFrame:
     """Generic interval-overlap (range) join without a cartesian
     product: every interval explodes to the fixed-width time buckets
-    it covers, candidates meet through a bucket equi-join, the exact
-    overlap predicate verifies, and whole-row distinct removes the
-    multi-bucket double-counts. Overlap is the closed-interval test
+    it covers, candidates meet through a bucket equi-join, and the
+    exact overlap predicate verifies. A pair that shares several
+    buckets is emitted exactly once WITHOUT any distinct: only the
+    FIRST bucket both intervals cover —
+    ``floor(max(l_start, r_start) / bucket)``, which any overlapping
+    pair necessarily shares — emits it, so duplicate input rows
+    survive as duplicate output pairs (a whole-row distinct would
+    silently merge them) and the dedup shuffle disappears entirely.
+    Overlap is the closed-interval test
     ``l_start <= r_end AND r_start <= l_end`` (integer units).
 
     Per-row fan-out is ``len/bucket_seconds + 1`` — pick the bucket
@@ -473,11 +479,14 @@ def interval_overlap_join(
     lb = bucketed(left, l_start, l_end)
     rb = bucketed(right, r_start, r_end)
     on = ["_bk", *how_cols]
+    first_shared = (
+        F.greatest(F.col(l_start), F.col(r_start)) / b
+    ).cast("long")
     return (
         lb.join(rb, on)
         .where(
             (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
         )
+        .where(F.col("_bk") == first_shared)
         .drop("_bk")
-        .distinct()
     )

@@ -586,6 +586,8 @@ def quantize_embeddings(
     Output: (id_col, qvec array<long> of codes, max_abs_err — the
     per-vector worst-case dequantization error, rounded 6 dp).
     """
+    if levels < 2:
+        raise ValueError(f"levels must be >= 2, got {levels}")
     lv = float(levels - 1)
     e = corpus.select(
         F.col(id_col),

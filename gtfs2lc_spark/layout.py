@@ -157,8 +157,6 @@ def write_zordered(
     + sortWithinPartitions (tight per-row-group stats). Filters on any
     of ``zcols`` then skip most files via footer min/max —
     :func:`files_overlapping` measures it."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     z = zorder_key([df[c] for c in zcols], bits=bits).alias("_z")
     (
         df.select("*", z)
@@ -237,6 +235,14 @@ def compact_files(
         df = df.coalesce(n_after)
     tmp = path.rstrip("/") + "_compacting"
     df.write.mode("overwrite").parquet(tmp)
-    fs.delete(p, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+    # Hadoop FileSystem signals failure by RETURNING false, not by
+    # raising — an unchecked swap could delete the original and leave
+    # the compacted copy stranded while reporting success
+    if not fs.delete(p, True):
+        raise IOError(f"compact_files: could not delete original {path}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p):
+        raise IOError(
+            f"compact_files: rename {tmp} -> {path} failed; compacted "
+            f"data is intact at {tmp}"
+        )
     return n_before, n_after

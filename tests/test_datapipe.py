@@ -935,3 +935,9 @@ def test_char_entropy_closed_form(spark):
     assert got[2] == (2, round(math.log(2), 6))
     assert got[3] == (4, round(math.log(2), 6))
     assert 4 not in got  # empty doc emits no row
+
+
+def test_quantize_embeddings_rejects_degenerate_levels(spark):
+    df = spark.createDataFrame([(1, [0.0, 1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        similarity.quantize_embeddings(df, levels=1)

@@ -415,3 +415,18 @@ def test_interval_overlap_join_plan_no_cartesian(spark):
     plan = ev.interval_overlap_join(left, right, bucket_seconds=300)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_preserves_duplicate_rows(spark):
+    """Review regression: duplicate input rows must yield duplicate
+    output pairs (the old whole-row distinct silently merged them);
+    multi-bucket pairs still emit exactly once (first-shared-bucket
+    emission, no distinct at all)."""
+    from gtfs2lc_spark.datapipe import events as ev
+
+    left = spark.createDataFrame(
+        [(0, 100), (0, 100)], ["l_start", "l_end"]  # identical rows, no id
+    )
+    right = spark.createDataFrame([(50, 150)], ["r_start", "r_end"])
+    out = ev.interval_overlap_join(left, right, bucket_seconds=16).collect()
+    assert len(out) == 2  # one pair per duplicate left row
