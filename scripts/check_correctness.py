@@ -58,18 +58,24 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    import time as _time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = _time.perf_counter()
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
+        t_spark = _time.perf_counter() - t0
         scols = sdf.columns
         if name not in oracles:
             print(f"{name:28s} rows={len(srows):7d}  (no oracle — rows-only)")
             continue
+        t1 = _time.perf_counter()
         res = con.execute(oracles[name])
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
+        t_duck = _time.perf_counter() - t1
         ok_rows = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
         sh = table_hash([tuple(r) for r in srows], scols)
@@ -79,6 +85,7 @@ def main() -> int:
         print(
             f"{name:28s} {status} rows {len(srows)}/{len(orows)}"
             f" cols={'=' if ok_cols else scols} hash={'=' if ok_hash else (sh[:8] + '!=' + oh[:8])}"
+            f"  [{t_spark:.1f}s/{t_duck:.1f}s]"
         )
         if status == "FAIL":
             failures += 1
