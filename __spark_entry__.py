@@ -1388,6 +1388,37 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.char_entropy(d)
 
 
+def _q_kg_state_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC graph-state reconstruction: an add/del triple change log
+    (synthesized deterministically from events) replayed to the state
+    as of 2024-01-10T00:00Z — last-change-wins per triple key via one
+    map-side-combinable max(struct) aggregation."""
+    from gtfs2lc_spark.datapipe.events import _micros
+
+    e = _load(spark, sf_dir, "events")
+    changes = e.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.concat(F.lit("x"), (F.col("event_id") % 7).cast("string")).alias("obj"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("del"))
+        .otherwise(F.lit("add"))
+        .alias("op"),
+        (_micros(F.col("ts")) / F.lit(1_000_000).cast("bigint")).cast("long").alias("t"),
+    )
+    return kg.state_at(changes, as_of=1704844800)
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: kNN-graph neighbors
+    (embedding-close) anti-joined against MinHash near-dup pairs
+    (text-duplicate — those are positives, not negatives)."""
+    from gtfs2lc_spark.datapipe import curate
+
+    d = _load(spark, sf_dir, "documents")
+    e = _load(spark, sf_dir, "embeddings")
+    return curate.hard_negatives(d, e, k=3, n_planes=6, threshold=0.5, hash_fn="md5")
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1502,6 +1533,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "embedding_quantize": _q_embedding_quantize,
         "char_entropy": _q_char_entropy,
+        "kg_state_at": _q_kg_state_at,
+        "hard_negatives": _q_hard_negatives,
     }
 
 
@@ -1603,6 +1636,41 @@ def _sql_knn_graph(k: int = 3, n_planes: int = 6, seed: int = 7, dim: int = 64) 
           FROM scored
         )
         SELECT node_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _sql_hard_negatives(
+    k: int = 3, n_planes: int = 6, seed: int = 7, dim: int = 64,
+    threshold: float = 0.5, num_perm: int = 32, bands: int = 8,
+) -> str:
+    """Composition: the knn_graph oracle's unordered-pair collapse
+    EXCEPT the minhash near-dup oracle's pair set."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    bucket = _duck_bucket("embedding", planes)
+    return f"""
+        WITH kc AS (
+          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ),
+        kscored AS (
+          SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+                 round({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+          FROM kc a JOIN kc b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ),
+        kranked AS (
+          SELECT *, row_number() OVER (PARTITION BY node_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM kscored
+        ),
+        knn AS (
+          SELECT least(node_id, neighbor_id) AS id_a,
+                 greatest(node_id, neighbor_id) AS id_b,
+                 max(cosine) AS cosine
+          FROM kranked WHERE rank <= {k} GROUP BY 1, 2
+        ),
+        {_minhash_pairs_ctes(num_perm, bands)},
+        dups AS (SELECT id_a, id_b FROM scored WHERE jaccard >= {threshold})
+        SELECT k.id_a, k.id_b, k.cosine
+        FROM knn k ANTI JOIN dups d ON k.id_a = d.id_a AND k.id_b = d.id_b
     """
 
 
@@ -2750,6 +2818,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_classifier": _sql_quality_classifier(),
         "knn_graph": _sql_knn_graph(),
+        "kg_state_at": """
+            WITH ch AS (
+              SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS subj,
+                     event_type AS pred,
+                     'x' || CAST(event_id % 7 AS VARCHAR) AS obj,
+                     CASE WHEN event_id % 3 = 0 THEN 'del' ELSE 'add' END AS op,
+                     epoch_us(ts) // 1000000 AS t
+              FROM events
+            ), last AS (
+              SELECT subj, pred, obj, op,
+                     row_number() OVER (PARTITION BY subj, pred, obj
+                       ORDER BY t DESC, op DESC) AS rn
+              FROM ch WHERE t <= 1704844800
+            )
+            SELECT subj, pred, obj FROM last WHERE rn = 1 AND op = 'add'
+        """,
+        "hard_negatives": _sql_hard_negatives(),
         "embedding_quantize": """
             WITH e AS (
               SELECT vec_id, g.pos - 1 AS pos,

@@ -131,3 +131,50 @@ def contrastive_pairs(
         .select("id_a", "id_b", F.lit(0).cast("long").alias("label"))
     )
     return pos.unionByName(neg)
+
+
+def hard_negatives(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Contrastive hard-negative mining: pairs that are CLOSE in
+    embedding space (kNN-graph neighbors) but NOT textual
+    near-duplicates — the negatives that actually teach a contrastive
+    model a boundary, versus random negatives that are trivially far.
+
+    Composition of two existing verified operators: the
+    no-broadcast LSH kNN graph over the embeddings (semantic
+    closeness) anti-joined against the MinHash near-duplicate pairs
+    over the documents (textual duplication — those belong in the
+    positive set, and mislabeling a true near-dup as a negative
+    poisons the loss). Directed kNN edges collapse to unordered
+    pairs (least, greatest) keeping the max cosine.
+
+    Output: (id_a, id_b, cosine), id_a < id_b.
+    """
+    from . import dedup as dedup_ops
+    from . import similarity as sim_ops
+
+    knn = sim_ops.knn_graph(
+        embeddings, dim=dim, k=k, n_planes=n_planes, id_col=vec_id_col
+    )
+    pairs = (
+        knn.select(
+            F.least("node_id", "neighbor_id").alias("id_a"),
+            F.greatest("node_id", "neighbor_id").alias("id_b"),
+            "cosine",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    dups = dedup_ops.minhash_near_duplicates(
+        docs, id_col=doc_id_col, threshold=threshold, hash_fn=hash_fn
+    ).select("id_a", "id_b")
+    return pairs.join(dups, ["id_a", "id_b"], "left_anti")

@@ -904,3 +904,34 @@ def khop_distances(
         dist = materialize(dist.unionByName(nxt), label="khop_dist")
         frontier = nxt.select("node")
     return dist
+
+
+def state_at(
+    changes: DataFrame,
+    as_of: int,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    op_col: str = "op",
+    ts_col: str = "t",
+) -> DataFrame:
+    """CDC-style graph state reconstruction: the triple set as of
+    integer time ``as_of``, from an add/del change log — a triple is
+    present iff the LAST change at ``t <= as_of`` is an ``'add'``.
+    The temporal complement of :func:`triple_diff` (which produces a
+    delta between states; this replays deltas into a state).
+
+    ONE map-side-combinable aggregation: the latest (t, op) per
+    triple key via max(struct(t, op)) — ties at identical t resolve
+    'del'-over-'add' deterministically ('add' < 'del' lexically, the
+    conservative read for a same-instant add+del). The time filter
+    sits under the aggregation, pushed to the scan.
+
+    Timestamps must be integers (epoch seconds/micros) — exact
+    cross-engine comparison, no timezone semantics in the key.
+    """
+    c = changes.where(F.col(ts_col) <= F.lit(int(as_of)))
+    last = c.groupBy(subj, pred, obj).agg(
+        F.max(F.struct(F.col(ts_col), F.col(op_col))).alias("_l")
+    )
+    return last.where(F.col("_l")[op_col] == "add").select(subj, pred, obj)

@@ -941,3 +941,33 @@ def test_quantize_embeddings_rejects_degenerate_levels(spark):
     df = spark.createDataFrame([(1, [0.0, 1.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError):
         similarity.quantize_embeddings(df, levels=1)
+
+
+def test_hard_negatives_excludes_text_dups(spark):
+    from gtfs2lc_spark.datapipe import curate
+
+    # embeddings: 1,2,3 nearly collinear (knn neighbors), 9 orthogonal
+    evecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.99, 0.02, 0.1, 0.0]),
+        (9, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    # docs: 1 and 2 are textual near-dups (positive pair -> excluded);
+    # 3 is semantically close in embedding space but different text
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again tonight"),
+        (3, "an entirely different sentence about shuffle partitions"),
+        (9, "unrelated text about watermark state and triggers"),
+    ]
+    e = spark.createDataFrame(evecs, ["vec_id", "embedding"])
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in curate.hard_negatives(
+            d, e, k=2, n_planes=2, dim=4, threshold=0.5, hash_fn="md5"
+        ).collect()
+    }
+    assert (1, 2) not in out          # text near-dup -> not a negative
+    assert (1, 3) in out or (2, 3) in out  # embedding-close non-dup kept

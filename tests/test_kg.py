@@ -597,3 +597,33 @@ def test_validate_shapes_min_max_and_conforming_silence(spark):
         ("c1", "arr"): (0, "missing"),
         ("c3", "dep"): (2, "excess"),
     }
+
+
+def test_state_at_replay_semantics(spark):
+    """CDC replay: last-change-wins per triple at the as-of bound;
+    same-instant add+del resolves del (conservative); changes after
+    the bound are invisible; re-add after del resurrects."""
+    from gtfs2lc_spark import kg
+
+    rows = [
+        # s1: add @1, del @5, add @7  -> present at 10, absent at 6
+        ("s1", "p", "o", "add", 1),
+        ("s1", "p", "o", "del", 5),
+        ("s1", "p", "o", "add", 7),
+        # s2: add and del at the SAME instant -> del wins
+        ("s2", "p", "o", "add", 3),
+        ("s2", "p", "o", "del", 3),
+        # s3: added only after the bound
+        ("s3", "p", "o", "add", 11),
+        # s4: plain add
+        ("s4", "p", "o", "add", 2),
+    ]
+    ch = spark.createDataFrame(rows, ["subj", "pred", "obj", "op", "t"])
+
+    def state(as_of):
+        return {r["subj"] for r in kg.state_at(ch, as_of).collect()}
+
+    assert state(10) == {"s1", "s4"}
+    assert state(6) == {"s4"}
+    assert state(3) == {"s1", "s4"}   # s2's same-instant del wins; s1 not yet deleted
+    assert state(12) == {"s1", "s3", "s4"}
