@@ -1419,6 +1419,40 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.hard_negatives(d, e, k=3, n_planes=6, threshold=0.5, hash_fn="md5")
 
 
+def _q_lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pivot surface: document counts cross-tabbed lang x source
+    with an EXPLICIT pivot value list (never the value-discovering
+    two-pass form at scale — enumerating 10^6 distinct pivot values is
+    a driver bomb; with literals the pivot is one groupBy)."""
+    d = _load(spark, sf_dir, "documents")
+    srcs = [f"src{i}" for i in range(8)]
+    p = (
+        d.groupBy("lang")
+        .pivot("source", srcs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return p.select("lang", *[F.col(s).cast("long").alias(s) for s in srcs])
+
+
+def _q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing: the events.props JSON column parsed
+    in-plan (from_json with an explicit schema — schema-on-read, no
+    sampling pass) and aggregated per event_type."""
+    e = _load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1535,6 +1569,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "kg_state_at": _q_kg_state_at,
         "hard_negatives": _q_hard_negatives,
+        "lang_source_pivot": _q_lang_source_pivot,
+        "props_extract": _q_props_extract,
     }
 
 
@@ -2835,6 +2871,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, obj FROM last WHERE rn = 1 AND op = 'add'
         """,
         "hard_negatives": _sql_hard_negatives(),
+        "lang_source_pivot": f"""
+            SELECT lang,
+                   {', '.join(
+                     f"CAST(sum(CASE WHEN source = 'src{i}' THEN 1 ELSE 0 END) AS BIGINT) AS src{i}"
+                     for i in range(8)
+                   )}
+            FROM documents GROUP BY lang
+        """,
+        "props_extract": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
         "embedding_quantize": """
             WITH e AS (
               SELECT vec_id, g.pos - 1 AS pos,

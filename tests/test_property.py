@@ -123,3 +123,43 @@ def test_stratified_sample_exact_ceil_everywhere(spark, sizes, frac):
         .collect()
     }
     assert by == {f"s{s}": math.ceil(n * frac) for s, n in enumerate(sizes)}
+
+
+@_SET
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta eta".split()),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+def test_setsim_join_matches_brute_force(spark, docs, threshold):
+    """Prefix-filter losslessness: the AllPairs/PPJoin self-join must
+    return exactly the brute-force token-Jaccard pairs at the
+    threshold — across random small-vocab corpora where prefixes,
+    length filters, and df-ordering all get exercised."""
+    from gtfs2lc_spark.datapipe import dedup as dd
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.setsim_join(df, threshold=threshold).collect()
+    }
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j:
+                continue
+            sa, sb = set(a.split()) - {""}, set(b.split()) - {""}
+            if not sa or not sb:
+                continue
+            jac = round(len(sa & sb) / len(sa | sb), 6)
+            if jac >= threshold:
+                want[(i, j)] = jac
+    assert got == want
