@@ -475,3 +475,28 @@ def click_attribution_stream(
         "view_id",
         "view_ts",
     )
+
+
+def dedup_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native streaming dedup: ``dropDuplicatesWithinWatermark`` on the
+    event id — the JVM state-store twin of the corpus dedup stream for
+    the at-least-once-delivery case (a re-delivered event inside the
+    watermark horizon is dropped by keyed state; state for ids older
+    than the watermark is evicted, so memory is bounded by the horizon
+    x arrival rate, not the stream's lifetime). Use the history-store
+    stream for exactly-once dedup across arbitrary time; use this for
+    cheap in-flight duplicate suppression."""
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", "8").parquet(
+        events_dir
+    )
+    return s.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -453,3 +453,35 @@ def test_click_attribution_stream_interval_join(spark, tmp_path):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
     assert got == {(13, 11), (13, 12)}
+
+
+def test_dedup_events_stream_drops_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-delivered event id inside
+    the watermark horizon emits once; distinct ids all emit."""
+    import datetime
+
+    tmp = str(tmp_path)
+    events = f"{tmp}/events"
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    ts = datetime.datetime.fromisoformat
+    rows = [
+        (1, ts("2026-01-01T08:00:00"), 1, "a", 1.0, ""),
+        (1, ts("2026-01-01T08:00:30"), 1, "a", 1.0, ""),  # redelivery
+        (2, ts("2026-01-01T08:01:00"), 1, "a", 2.0, ""),
+        (1, ts("2026-01-01T08:02:00"), 1, "a", 1.0, ""),  # redelivery again
+        (3, ts("2026-01-01T09:30:00"), 2, "a", 3.0, ""),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(events)
+
+    name = "dedup_stream_mem"
+    q = (
+        streaming.dedup_events_stream(spark, events, watermark="1 hour")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt_ddw")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = [r.event_id for r in spark.sql(f"SELECT event_id FROM {name}").collect()]
+    assert sorted(got) == [1, 2, 3]
