@@ -1453,6 +1453,31 @@ def _q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 from the lang-id confusion table
+    — the eval readout that decides per-class trust in the cheap
+    classifier. All stages dimension-sized (classes^2 rows)."""
+    d = _load(spark, sf_dir, "documents")
+    return text.classifier_prf(text.langid_confusion(d))
+
+
+def _q_host_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph profiling: undirected distinct-neighbor degree
+    distribution of the host graph — the power-law check before any
+    degree-quadratic graph op."""
+    return kg.degree_histogram(_host_edges(spark, sf_dir))
+
+
+def _q_ab_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users deterministically hash-assigned to 2
+    arms (portable seeded hash — membership stable across runs and
+    engines), per-arm users / events / mean outcome."""
+    from gtfs2lc_spark.datapipe import events as ev
+
+    e = _load(spark, sf_dir, "events")
+    return ev.ab_metrics(e, n_arms=2)
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1571,6 +1596,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "lang_source_pivot": _q_lang_source_pivot,
         "props_extract": _q_props_extract,
+        "langid_prf": _q_langid_prf,
+        "host_degree_hist": _q_host_degree_hist,
+        "ab_metrics": _q_ab_metrics,
     }
 
 
@@ -2871,6 +2899,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, obj FROM last WHERE rn = 1 AND op = 'add'
         """,
         "hard_negatives": _sql_hard_negatives(),
+        "langid_prf": f"""
+            WITH conf AS (
+              SELECT label, predicted, COUNT(*) AS n_docs FROM (
+                SELECT lang AS label,
+                  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                       WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                       ELSE 'de' END AS predicted
+                FROM (
+                  SELECT lang, {_sw_hits('en')} AS h_en, {_sw_hits('de')} AS h_de,
+                         {_sw_hits('fr')} AS h_fr, {_sw_hits('es')} AS h_es
+                  FROM documents
+                )
+              ) GROUP BY 1, 2
+            ),
+            rowt AS (SELECT label AS class, CAST(sum(n_docs) AS BIGINT) AS n_true FROM conf GROUP BY 1),
+            colt AS (SELECT predicted AS class, CAST(sum(n_docs) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
+            diag AS (SELECT label AS class, CAST(n_docs AS BIGINT) AS tp FROM conf WHERE label = predicted),
+            classes AS (SELECT DISTINCT class FROM (SELECT class FROM rowt UNION ALL SELECT class FROM colt)),
+            j AS (
+              SELECT c.class,
+                     coalesce(n_true, 0) AS n_true,
+                     coalesce(n_pred, 0) AS n_pred,
+                     coalesce(tp, 0) AS tp
+              FROM classes c
+              LEFT JOIN rowt USING (class)
+              LEFT JOIN colt USING (class)
+              LEFT JOIN diag USING (class)
+            )
+            SELECT class, n_true, n_pred, tp,
+              round(CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE)/n_pred ELSE 0 END, 6) AS precision,
+              round(CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE)/n_true ELSE 0 END, 6) AS recall,
+              round(CASE WHEN (CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE)/n_pred ELSE 0 END)
+                            + (CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE)/n_true ELSE 0 END) > 0
+                   THEN 2 * (CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE)/n_pred ELSE 0 END)
+                          * (CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE)/n_true ELSE 0 END)
+                          / ((CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE)/n_pred ELSE 0 END)
+                             + (CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE)/n_true ELSE 0 END))
+                   ELSE 0 END, 6) AS f1
+            FROM j
+        """,
+        "host_degree_hist": """
+            WITH e AS (
+              SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+              UNION ALL
+              SELECT (doc_id * 13 + 5) % 97 AS src, doc_id % 97 AS dst FROM documents
+            ), sym AS (
+              SELECT DISTINCT node, nbr FROM (
+                SELECT src AS node, dst AS nbr FROM e
+                UNION ALL
+                SELECT dst AS node, src AS nbr FROM e
+              ) WHERE node <> nbr
+            ), deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1
+            )
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1
+        """,
+        "ab_metrics": f"""
+            SELECT {_DUCK_H32.format(s="'ab-v1' || '|' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   count(*) AS n_events,
+                   round(avg(value), 6) AS mean_value
+            FROM events GROUP BY 1
+        """,
         "lang_source_pivot": f"""
             SELECT lang,
                    {', '.join(

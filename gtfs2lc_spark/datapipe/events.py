@@ -490,3 +490,40 @@ def interval_overlap_join(
         .where(F.col("_bk") == first_shared)
         .drop("_bk")
     )
+
+
+def ab_metrics(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    n_arms: int = 2,
+    seed: str = "ab-v1",
+) -> DataFrame:
+    """Experiment readout: users deterministically assigned to arms by
+    the engine-portable seeded hash (same stability contract as
+    hash_split — membership never changes across runs, engines, or
+    corpus growth), then per-arm exposure and outcome metrics. The
+    assignment is a pure narrow expression on the fact table; the
+    readout is one combinable aggregation (distinct users expands on
+    (arm, user) before the n_arms-row rollup, so a hot arm never
+    single-tasks the distinct).
+
+    Output: (arm, n_users, n_events, mean_value rounded 6 dp).
+    """
+    from .dedup import portable_hash32
+
+    arm = F.pmod(
+        portable_hash32(
+            F.concat(F.lit(seed), F.lit("|"), F.col(user_col).cast("string"))
+        ),
+        F.lit(int(n_arms)),
+    ).alias("arm")
+    per_user = events.select(arm, F.col(user_col).alias("u"), F.col(value_col).alias("v"))
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count_distinct("u").cast("long").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("v"), 6).alias("mean_value"),
+        )
+    )

@@ -1462,3 +1462,52 @@ def char_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def classifier_prf(
+    conf: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "predicted",
+    n_col: str = "n_docs",
+) -> DataFrame:
+    """Per-class precision / recall / F1 from a confusion table
+    (label, predicted, count) — the eval readout that turns
+    :func:`langid_confusion` (or any classifier confusion) into a
+    keep/retrain decision per class. A confusion table is
+    classes^2 rows, so every step here is dimension-sized: two
+    re-aggregations (true-class and predicted-class totals), the
+    diagonal, and left joins over the class list. Classes appearing
+    only as predictions (e.g. 'und') report recall over zero truth
+    as 0.0.
+
+    Output: (class, n_true, n_pred, tp, precision, recall, f1),
+    ratios rounded 6 dp, zero-denominator cases -> 0.0.
+    """
+    row = conf.groupBy(F.col(label_col).alias("class")).agg(
+        F.sum(n_col).cast("long").alias("n_true")
+    )
+    col = conf.groupBy(F.col(pred_col).alias("class")).agg(
+        F.sum(n_col).cast("long").alias("n_pred")
+    )
+    diag = conf.where(F.col(label_col) == F.col(pred_col)).select(
+        F.col(label_col).alias("class"), F.col(n_col).cast("long").alias("tp")
+    )
+    classes = row.select("class").unionByName(col.select("class")).distinct()
+    j = (
+        classes.join(row, "class", "left")
+        .join(col, "class", "left")
+        .join(diag, "class", "left")
+        .na.fill(0, ["n_true", "n_pred", "tp"])
+    )
+    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0))
+    r = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true")).otherwise(F.lit(0.0))
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return j.select(
+        "class",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -935,3 +935,29 @@ def state_at(
         F.max(F.struct(F.col(ts_col), F.col(op_col))).alias("_l")
     )
     return last.where(F.col("_l")[op_col] == "add").select(subj, pred, obj)
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Graph profiling: the undirected distinct-neighbor degree
+    distribution — (degree, n_nodes). The first thing to look at
+    before running anything quadratic-in-degree (triangles, wedge
+    joins): a power-law tail here is the skew warning. Self-loops are
+    excluded; multi-edges count once (distinct neighbor set).
+
+    Plan: symmetrize (union), distinct (node, neighbor), one
+    map-side-combinable count per node, then the tiny
+    (degree -> n_nodes) rollup — the shuffle carries one row per
+    distinct edge, then one per node, then one per distinct degree.
+    """
+    sym = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr")
+    ).unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+    deg = (
+        sym.where(F.col("node") != F.col("nbr"))
+        .distinct()
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

@@ -971,3 +971,22 @@ def test_hard_negatives_excludes_text_dups(spark):
     }
     assert (1, 2) not in out          # text near-dup -> not a negative
     assert (1, 3) in out or (2, 3) in out  # embedding-close non-dup kept
+
+
+def test_classifier_prf_hand_computed(spark):
+    conf = spark.createDataFrame(
+        [
+            ("en", "en", 8), ("en", "de", 2),   # en: recall 0.8
+            ("de", "de", 3), ("de", "und", 1),  # de: recall 0.75
+        ],
+        ["label", "predicted", "n_docs"],
+    )
+    got = {r["class"]: r for r in text.classifier_prf(conf).collect()}
+    assert got["en"]["tp"] == 8 and got["en"]["n_true"] == 10 and got["en"]["n_pred"] == 8
+    assert got["en"]["precision"] == 1.0 and got["en"]["recall"] == 0.8
+    assert got["en"]["f1"] == round(2 * 1.0 * 0.8 / 1.8, 6)
+    assert got["de"]["precision"] == 0.6  # 3 of (2 + 3) predicted de
+    # 'und' exists only as a prediction: zero truth, zero tp, all-0 scores
+    assert got["und"]["n_true"] == 0 and got["und"]["tp"] == 0
+    assert got["und"]["precision"] == 0.0 and got["und"]["recall"] == 0.0
+    assert got["und"]["f1"] == 0.0

@@ -430,3 +430,18 @@ def test_interval_overlap_join_preserves_duplicate_rows(spark):
     right = spark.createDataFrame([(50, 150)], ["r_start", "r_end"])
     out = ev.interval_overlap_join(left, right, bucket_seconds=16).collect()
     assert len(out) == 2  # one pair per duplicate left row
+
+
+def test_ab_metrics_deterministic_and_partitions_users(spark):
+    from gtfs2lc_spark.datapipe import events as ev
+
+    rows = [(i, None, i % 40, "a", float(i % 7), "") for i in range(400)]
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    a = sorted(map(tuple, ev.ab_metrics(df, n_arms=2).collect()))
+    b = sorted(map(tuple, ev.ab_metrics(df.repartition(7), n_arms=2).collect()))
+    assert a == b  # assignment independent of partitioning
+    assert sum(r[1] for r in a) == 40   # every user in exactly one arm
+    assert sum(r[2] for r in a) == 400  # every event counted once
+    assert len(a) == 2

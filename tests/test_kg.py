@@ -627,3 +627,17 @@ def test_state_at_replay_semantics(spark):
     assert state(6) == {"s4"}
     assert state(3) == {"s1", "s4"}   # s2's same-instant del wins; s1 not yet deleted
     assert state(12) == {"s1", "s3", "s4"}
+
+
+def test_degree_histogram_loops_and_multi_edges(spark):
+    """Self-loops excluded; multi-edges and reverse duplicates count a
+    neighbor once (distinct undirected neighbor set)."""
+    from gtfs2lc_spark import kg
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (4, 5)],
+        ["src", "dst"],
+    )
+    got = {r["degree"]: r["n_nodes"] for r in kg.degree_histogram(edges).collect()}
+    # degrees: 1->{2}=1? no: 1-{2}, 2-{1,3}, 3-{2}, 4-{5}, 5-{4}
+    assert got == {1: 4, 2: 1}
