@@ -1478,6 +1478,25 @@ def _q_ab_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.ab_metrics(e, n_arms=2)
 
 
+def _q_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured mention extraction (emails / urls / IPv4) with
+    within-doc match ordinals — the mention-table feeder for KG
+    construction. Gate injects deterministic mentions into every
+    document on BOTH engines (same trick as pii_scrub)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = _pii_augmented(d).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://h"),
+            F.pmod(F.col("doc_id"), F.lit(7)),
+            F.lit(".example/p/"),
+            F.col("doc_id"),
+        ).alias("text"),
+    )
+    return text.entity_mentions(aug)
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1599,6 +1618,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_prf": _q_langid_prf,
         "host_degree_hist": _q_host_degree_hist,
         "ab_metrics": _q_ab_metrics,
+        "entity_mentions": _q_entity_mentions,
     }
 
 
@@ -1701,6 +1721,32 @@ def _sql_knn_graph(k: int = 3, n_planes: int = 6, seed: int = 7, dim: int = 64) 
         )
         SELECT node_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def _sql_entity_mentions() -> str:
+    """Mirror of entity_mentions over the same injected augmentation;
+    built by concatenation (the regex literals contain braces that
+    would fight an f-string)."""
+    aug = (
+        "text || ' contact u' || doc_id || '@ex-' || doc_id || "
+        "'.org or +1-202-555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || "
+        "' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+        " || ' see https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR)"
+    )
+    from gtfs2lc_spark.datapipe.text import MENTION_PATTERNS
+
+    arms = "\n              UNION ALL ".join(
+        "SELECT doc_id, '" + kind + "' AS kind, "
+        "regexp_extract_all(text, '" + pat.replace("'", "''") + "') AS ms FROM aug"
+        for kind, pat in MENTION_PATTERNS
+    )
+    return (
+        "WITH aug AS (SELECT doc_id, " + aug + " AS text FROM documents),\n"
+        "            m AS (" + arms + ")\n"
+        "            SELECT doc_id, kind, CAST(i - 1 AS BIGINT) AS pos,\n"
+        "                   ms[CAST(i AS INTEGER)] AS mention\n"
+        "            FROM m, UNNEST(range(1, len(ms) + 1)) AS u(i)"
+    )
 
 
 def _sql_hard_negatives(
@@ -2899,6 +2945,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, obj FROM last WHERE rn = 1 AND op = 'add'
         """,
         "hard_negatives": _sql_hard_negatives(),
+        "entity_mentions": _sql_entity_mentions(),
         "langid_prf": f"""
             WITH conf AS (
               SELECT label, predicted, COUNT(*) AS n_docs FROM (

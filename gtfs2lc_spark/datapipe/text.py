@@ -1511,3 +1511,45 @@ def classifier_prf(
         F.round(r, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+MENTION_PATTERNS: list[tuple[str, str]] = [
+    # Java-regex ∩ RE2 subset, same portability contract as
+    # PII_PATTERNS (the email/ipv4 literals are shared with it)
+    ("email", PII_PATTERNS[0][1]),
+    ("url", r"https?://[^\s]+"),
+    ("ipv4", PII_PATTERNS[1][1]),
+]
+
+
+def entity_mentions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Structured mention EXTRACTION — the other half of pii_scrub
+    (which redacts): one output row per regex match, with the match's
+    0-based ordinal within (document, kind), the raw material for
+    KG mention tables and contact/link harvesting. One narrow
+    regexp_extract_all + posexplode per pattern, union — zero
+    shuffles, fan-out bounded by matches per document.
+
+    Output: (id_col, kind, pos, mention).
+    """
+    pats = patterns if patterns is not None else MENTION_PATTERNS
+    parts = []
+    for kind, pat in pats:
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.lit(kind).alias("kind"),
+                F.posexplode(
+                    F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+                ).alias("pos", "mention"),
+            ).select(id_col, "kind", F.col("pos").cast("long").alias("pos"), "mention")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -990,3 +990,20 @@ def test_classifier_prf_hand_computed(spark):
     assert got["und"]["n_true"] == 0 and got["und"]["tp"] == 0
     assert got["und"]["precision"] == 0.0 and got["und"]["recall"] == 0.0
     assert got["und"]["f1"] == 0.0
+
+
+def test_entity_mentions_kinds_and_ordinals(spark):
+    rows = [
+        (1, "mail a@b.co then c@d.org at 10.0.0.1 and see https://x.y/z done"),
+        (2, "no mentions here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["kind"], r["pos"]): r["mention"]
+        for r in text.entity_mentions(df).collect()
+    }
+    assert got[(1, "email", 0)] == "a@b.co"
+    assert got[(1, "email", 1)] == "c@d.org"
+    assert got[(1, "ipv4", 0)] == "10.0.0.1"
+    assert got[(1, "url", 0)] == "https://x.y/z"
+    assert not any(d == 2 for d, _k, _p in got)
