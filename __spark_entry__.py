@@ -1497,6 +1497,25 @@ def _q_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.entity_mentions(aug)
 
 
+def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-budget allocation: host PageRank divided by (1 + docs
+    already held) — authority-weighted frontier priority with
+    diminishing returns. Composition of the verified pagerank with a
+    per-host count rollup."""
+    d = _load(spark, sf_dir, "documents")
+    per_host = d.groupBy((F.col("doc_id") % 97).alias("node")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return kg.crawl_priorities(_host_edges(spark, sf_dir), per_host)
+
+
+def _q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: near-dup cluster size distribution
+    (singletons included) — the projected row-deletion mass."""
+    d = _load(spark, sf_dir, "documents")
+    return dedup.cluster_size_histogram(d, threshold=0.5, hash_fn="md5")
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_utc(spark)
@@ -1619,6 +1638,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_degree_hist": _q_host_degree_hist,
         "ab_metrics": _q_ab_metrics,
         "entity_mentions": _q_entity_mentions,
+        "crawl_budget": _q_crawl_budget,
+        "cluster_sizes": _q_cluster_sizes,
     }
 
 
@@ -1720,6 +1741,39 @@ def _sql_knn_graph(k: int = 3, n_planes: int = 6, seed: int = 7, dim: int = 64) 
           FROM scored
         )
         SELECT node_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _sql_crawl_budget() -> str:
+    """Composition: the pagerank oracle's CTE chain + per-host doc
+    counts + the priority ratio over the 6-dp-rounded rank."""
+    base = _sql_host_pagerank()
+    head = base.rsplit("\nSELECT", 1)[0]
+    return head + """,
+        pr AS (SELECT node, round(rank, 6) AS rank FROM r3),
+        hd AS (SELECT doc_id % 97 AS node, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1)
+        SELECT pr.node AS host, pr.rank,
+               coalesce(hd.n_docs, 0) AS n_docs,
+               round(pr.rank / (coalesce(hd.n_docs, 0) + 1), 6) AS crawl_priority
+        FROM pr LEFT JOIN hd ON hd.node = pr.node
+    """
+
+
+def _sql_cluster_sizes() -> str:
+    """Composition: the dedup_clusters oracle's recursive-CTE chain
+    rolled up to the cluster-size histogram (singletons included)."""
+    base = _sql_dedup_clusters()
+    head = base.rsplit("SELECT d.doc_id", 1)[0].rstrip()
+    return head + """,
+        allc AS (
+          SELECT coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ),
+        sizes AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS size FROM allc GROUP BY 1
+        )
+        SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY 1
     """
 
 
@@ -2946,6 +3000,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hard_negatives": _sql_hard_negatives(),
         "entity_mentions": _sql_entity_mentions(),
+        "crawl_budget": _sql_crawl_budget(),
+        "cluster_sizes": _sql_cluster_sizes(),
         "langid_prf": f"""
             WITH conf AS (
               SELECT label, predicted, COUNT(*) AS n_docs FROM (

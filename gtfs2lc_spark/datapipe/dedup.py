@@ -705,3 +705,26 @@ def minhash_recall(
         )
         .alias("recall"),
     )
+
+
+def cluster_size_histogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Dedup impact report: the near-dup cluster SIZE distribution —
+    (size, n_clusters). Size 1 = unique documents; the tail is the
+    boilerplate mass and, multiplied out, the row count dedup will
+    delete. Two map-side-combinable rollups on top of
+    :func:`near_duplicate_clusters` (singletons included)."""
+    cl = near_duplicate_clusters(
+        df, id_col=id_col, text_col=text_col, threshold=threshold, hash_fn=hash_fn
+    )
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )

@@ -961,3 +961,33 @@ def degree_histogram(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+def crawl_priorities(
+    edges: DataFrame,
+    docs_per_host: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Crawl-budget allocation: PageRank host authority divided by
+    (1 + documents already held) — important-but-under-crawled hosts
+    float to the top, saturated ones sink (the diminishing-returns
+    read of authority-weighted frontier scheduling). ``docs_per_host``
+    is a (node, n_docs) table; hosts absent from it count 0.
+
+    Ranks are fact-sized and never broadcast (pagerank's contract);
+    the combine is one node-keyed left join + narrow arithmetic.
+    Ratios divide the 6-dp-rounded rank so the result is engine-exact.
+
+    Output: (host, rank, n_docs, crawl_priority), both ratios 6 dp.
+    """
+    pr = pagerank(edges, iterations, damping).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+    j = pr.join(docs_per_host, "node", "left").na.fill(0, ["n_docs"])
+    return j.select(
+        F.col("node").alias("host"),
+        "rank",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("rank") / (F.col("n_docs") + 1), 6).alias("crawl_priority"),
+    )

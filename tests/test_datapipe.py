@@ -1007,3 +1007,15 @@ def test_entity_mentions_kinds_and_ordinals(spark):
     assert got[(1, "ipv4", 0)] == "10.0.0.1"
     assert got[(1, "url", 0)] == "https://x.y/z"
     assert not any(d == 2 for d, _k, _p in got)
+
+
+def test_cluster_size_histogram_counts(docs):
+    # docs fixture: 1,2 exact dups + 3 near-dup (threshold 0.5 joins
+    # all three); remaining 5 docs are singletons
+    got = {
+        r["size"]: r["n_clusters"]
+        for r in dedup.cluster_size_histogram(docs, threshold=0.5, hash_fn="md5").collect()
+    }
+    assert got[3] == 1
+    assert got[1] == 5
+    assert sum(s * n for s, n in got.items()) == 8  # every doc counted once

@@ -641,3 +641,18 @@ def test_degree_histogram_loops_and_multi_edges(spark):
     got = {r["degree"]: r["n_nodes"] for r in kg.degree_histogram(edges).collect()}
     # degrees: 1->{2}=1? no: 1-{2}, 2-{1,3}, 3-{2}, 4-{5}, 5-{4}
     assert got == {1: 4, 2: 1}
+
+
+def test_crawl_priorities_ordering(spark):
+    """Equal-authority hosts: the one with fewer held docs gets the
+    higher crawl priority; absent hosts count zero docs."""
+    from gtfs2lc_spark import kg
+
+    # symmetric 2-cycle: equal ranks for 0 and 1
+    edges = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+    held = spark.createDataFrame([(0, 9)], ["node", "n_docs"])
+    got = {r["host"]: r for r in kg.crawl_priorities(edges, held).collect()}
+    assert got[0]["rank"] == got[1]["rank"]
+    assert got[1]["n_docs"] == 0
+    assert got[1]["crawl_priority"] > got[0]["crawl_priority"]
+    assert got[0]["crawl_priority"] == round(got[0]["rank"] / 10, 6)
