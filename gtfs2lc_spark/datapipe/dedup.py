@@ -233,9 +233,13 @@ def connected_components(
     (one groupBy per round over the edge list; edges are symmetrized
     once). Rounds needed = graph diameter (near-dup clusters are
     shallow: duplicates of a common source — single digits in
-    practice); each round's result is localCheckpointed so the plan
-    stays flat. Deterministic, and exactly reproducible by the DuckDB
-    oracle's recursive reachability CTE.
+    practice); each round's result is cut through ``materialize()`` so
+    the plan stays flat AND the session's fault-tolerance strategy
+    (``spark.gtfs2lc.materialize = local|reliable|parquet``) governs
+    the loop — on a real cluster the ``reliable``/``parquet``
+    strategies survive executor loss mid-iteration, which a raw
+    localCheckpoint would not. Deterministic, and exactly reproducible
+    by the DuckDB oracle's recursive reachability CTE.
 
     Rounds needed = component diameter: if ``max_iters`` is exhausted
     with labels still changing (a chain-shaped cluster longer than
@@ -245,28 +249,34 @@ def connected_components(
     downgrades to a logged warning for exploratory runs.
     """
     import warnings
-    edges = (
+
+    from ..materialize import materialize
+
+    edges = materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        label="cc-edges",
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    ).localCheckpoint(eager=True)
+    labels = materialize(
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id")),
+        label="cc-labels",
+    )
     def propagate(labels: DataFrame) -> tuple[DataFrame, int]:
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = materialize(
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            label="cc-round",
         )
         changed = (
             new_labels.alias("n")
