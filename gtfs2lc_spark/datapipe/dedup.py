@@ -79,19 +79,21 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(
-    shingles: Column, num_perm: int = 32, seed: int = 42, hash_fn: str = "xxhash64"
+def minhash_signature_from_hashes(
+    h32: Column, num_perm: int = 32, seed: int = 42
 ) -> Column:
-    """num_perm-wide minhash signature, fully JVM-side.
-
-    h32 = hash32(shingle); sig_p = min((a_p*h32+b_p) mod P).
+    """num_perm-wide minhash signature from a PRECOMPUTED 32-bit
+    shingle-hash array column: sig_p = min((a_p*h32+b_p) mod P).
     a_p < 2^30 keeps a*h below 2^62 — no long overflow. Empty shingle
     sets get sentinel P (never collides with real minima).
-    ``hash_fn``: 'xxhash64' (production) or 'md5' (portable_hash32 —
-    exactly reproducible in the DuckDB oracle).
-    """
+
+    ``h32`` must be a real column (staged in its own select), not an
+    inline expression: higher-order functions are CodegenFallback, so
+    an inlined hash transform is re-evaluated once PER PERMUTATION —
+    measured 25x slower for the md5 portable hash at num_perm=32.
+    CollapseProject keeps the staging select separate because the
+    column is expensive and multiply-referenced."""
     params = minhash_params(num_perm, seed)
-    h32 = F.transform(shingles, lambda s: _token_hash32(s, hash_fn))
     sig = [
         F.coalesce(
             F.array_min(
@@ -102,6 +104,25 @@ def minhash_signature(
         for (a, b) in params
     ]
     return F.array(*sig)
+
+
+def minhash_signature(
+    shingles: Column, num_perm: int = 32, seed: int = 42, hash_fn: str = "xxhash64"
+) -> Column:
+    """num_perm-wide minhash signature, fully JVM-side.
+
+    h32 = hash32(shingle); sig_p = min((a_p*h32+b_p) mod P).
+    ``hash_fn``: 'xxhash64' (production) or 'md5' (portable_hash32 —
+    exactly reproducible in the DuckDB oracle).
+
+    NOTE: this single-Column form re-evaluates the shingle-hash
+    transform once per permutation (HOFs are CodegenFallback — no
+    subexpression elimination). Hot paths should stage the hash array
+    in a select and use :func:`minhash_signature_from_hashes`, like
+    :func:`lsh_candidate_pairs` does.
+    """
+    h32 = F.transform(shingles, lambda s: _token_hash32(s, hash_fn))
+    return minhash_signature_from_hashes(h32, num_perm, seed)
 
 
 def lsh_candidate_pairs(
@@ -126,10 +147,18 @@ def lsh_candidate_pairs(
     modulo 64-bit collisions.
     """
     rows = num_perm // bands
-    sig = minhash_signature(
-        word_shingles(F.col(text_col), shingle_k), num_perm, seed, hash_fn
+    # stage the shingle-hash array in its own select: HOFs are
+    # CodegenFallback, so inlining it re-evaluates the (md5|xxhash64)
+    # transform once per permutation — 25x measured at num_perm=32/md5
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_k),
+            lambda s: _token_hash32(s, hash_fn),
+        ).alias("_h32"),
     )
-    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+    sig = minhash_signature_from_hashes(F.col("_h32"), num_perm, seed)
+    banded = hashed.select("id", sig.alias("sig")).select(
         "id",
         F.explode(
             F.array(
@@ -356,12 +385,24 @@ def simhash64(
     ``hash_fn='md5'`` uses the 60-bit portable hash (so ``bits`` must be
     <= 60) — every bit is then reproducible in the DuckDB oracle.
     """
-    toks = F.filter(tokens(text), lambda t: t != "")
     if hash_fn == "md5":
         assert bits <= 60, "portable hash is 60-bit"
-        hashes = F.transform(toks, lambda t: portable_hash60(t))
-    else:
-        hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    return simhash_from_hashes(_simhash_token_hashes(text, seed, hash_fn), bits)
+
+
+def _simhash_token_hashes(text: Column, seed: int, hash_fn: str) -> Column:
+    toks = F.filter(tokens(text), lambda t: t != "")
+    if hash_fn == "md5":
+        return F.transform(toks, lambda t: portable_hash60(t))
+    return F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash from a PRECOMPUTED token-hash array column. Hot paths
+    must stage the array in its own select (see
+    :func:`minhash_signature_from_hashes` for why: HOFs are
+    CodegenFallback, and this expression references the array once per
+    BIT — an inlined md5 transform would be re-evaluated ~60x)."""
     n = F.size(hashes)
     bits_cols = [
         (
@@ -394,9 +435,14 @@ def simhash_candidates(
     Output pairs + hamming."""
     if hash_fn == "md5":
         bits = min(bits, 60)
+    # stage the token-hash array (multiply-referenced by the per-bit
+    # folds; inline it and the hash transform re-runs once per bit)
     sh = df.select(
         F.col(id_col).alias("id"),
-        simhash64(F.col(text_col), hash_fn=hash_fn, bits=bits).alias("sh"),
+        _simhash_token_hashes(F.col(text_col), 42, hash_fn).alias("_th"),
+    ).select(
+        "id",
+        simhash_from_hashes(F.col("_th"), bits).alias("sh"),
     )
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
