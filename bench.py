@@ -46,9 +46,11 @@ import statistics
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from gtfs2lc_spark import extraction, fixtures, pipeline, postprocess, sinks  # noqa: E402
+from gtfs2lc_spark import extraction, fixtures, pipeline, postprocess, sinks, skew  # noqa: E402
 from gtfs2lc_spark.session import build_session  # noqa: E402
 
 TRIPLES_PER_FEED = 29992  # measured & oracle-verified (tests/test_pipeline_e2e.py)
@@ -189,6 +191,59 @@ def main() -> None:
         ),
     ]
 
+    # ---- skew sections (VERDICT r4 #6): salted vs unsalted on a feed
+    # where ONE trip owns ~97% of stop_times — the north_rule's named
+    # risk shape. Two pairs:
+    #   skew_pipeline_{salted,unsalted}: full convert() with/without the
+    #     J6 salt — the unsalted plan serializes the hot trip's ~180x
+    #     date explode onto one task (AQE cannot split map-side fan-out);
+    #   skew_join_{salted,plain}: the same rule x service-date join via
+    #     the generic skew.salted_join vs a plain SMJ — the plain SMJ's
+    #     hot (feed, service) key lands on one reducer whose INPUT bytes
+    #     are far below AQE's skew-split threshold, so the 180x OUTPUT
+    #     explosion stragglers anyway; salting is the only fix.
+    # Inputs are localCheckpointed so the timed window isolates the
+    # operator under test. 2 reps each (the contrast is 3-10x; medians
+    # don't need 9 samples), run AFTER the main rounds so they cannot
+    # perturb the headline.
+    skew_rows = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "60000"))
+    sents = fixtures.skewed_entities(spark, mega_rows=skew_rows)
+    skew_st = sents["stop_times"].localCheckpoint(eager=True)
+    skew_conv = {
+        mode: pipeline.convert(
+            skew_st, sents["trips"], sents["routes"], sents["stops"],
+            sents["calendar"], sents["calendar_dates"], salt_n=salt,
+        )
+        for mode, salt in (("salted", 64), ("unsalted", None))
+    }
+    skew_rules = (
+        pipeline.stop_times_to_rules(
+            skew_st, sents["trips"], sents["routes"], sents["stops"]
+        )
+        .withColumn("k", F.concat_ws("|", "feed_id", "trip_service_id"))
+        .localCheckpoint(eager=True)
+    )
+    skew_dates = (
+        pipeline.expand_services(sents["calendar"], sents["calendar_dates"])
+        .select(
+            F.concat_ws("|", "feed_id", "service_id").alias("k"),
+            F.explode("dates").alias("service_date"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    skew_sections: list[tuple[str, object]] = [
+        ("skew_salted", lambda: _force(skew_conv["salted"])),
+        ("skew_unsalted", lambda: _force(skew_conv["unsalted"])),
+        (
+            "skewjoin_salted",
+            lambda: _force(skew.salted_join(skew_rules, skew_dates, "k", n_salts=64)),
+        ),
+        (
+            "skewjoin_plain",
+            lambda: _force(skew_rules.join(skew_dates.hint("merge"), "k")),
+        ),
+    ]
+
     # one untimed execution per section: first execution pays plan
     # compile + codegen JIT (observed 4-7x on first runs), which is a
     # constant that would otherwise poison each section's median
@@ -223,6 +278,19 @@ def main() -> None:
         run_round()
         extra += 1
 
+    # skew pair reps (post-headline; no warmup pass — convert()'s codegen
+    # is already hot from the headline warm, and a 3-10x contrast doesn't
+    # need it: rep 1 vs rep 2 agreement is visible in the detail artifact)
+    for name, _ in skew_sections:
+        runs[name], ratios[name], loads[name] = [], [], []
+    for _ in range(2):
+        for name, thunk in skew_sections:
+            ratios[name].append(wait_quiet())
+            loads[name].append(round(os.getloadavg()[0], 1))
+            t0 = time.perf_counter()
+            thunk()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+
     best = {n: min(r) for n, r in runs.items()}
     med = {n: round(statistics.median(r), 3) for n, r in runs.items()}
     total_triples = n_feeds * TRIPLES_PER_FEED
@@ -245,6 +313,7 @@ def main() -> None:
         },
         "total_triples": total_triples,
         "join_and_sort_feeds": pp_feeds,
+        "skew_mega_rows": skew_rows,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -157,6 +157,16 @@ def hard_negatives(
     poisons the loss). Directed kNN edges collapse to unordered
     pairs (least, greatest) keeping the max cosine.
 
+    ID-SPACE PRECONDITION: the anti-join is only meaningful when the
+    embedding ids ARE the document ids — row e of ``embeddings``
+    (keyed ``vec_id_col``) must be the embedding OF document e (keyed
+    ``doc_id_col``), as in the testdata tables where both are dense
+    row numbers over the same corpus. If your embeddings carry their
+    own id space, join them through a doc->vec mapping FIRST and pass
+    the doc-keyed frame here; with disjoint id spaces the anti-join
+    removes nothing and every kNN pair silently survives as a
+    "negative".
+
     Output: (id_a, id_b, cosine), id_a < id_b.
     """
     from . import dedup as dedup_ops

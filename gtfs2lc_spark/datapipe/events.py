@@ -440,6 +440,7 @@ def interval_overlap_join(
     r_end: str = "r_end",
     bucket_seconds: int = 3600,
     how_cols: tuple = (),
+    max_fanout: int = 100_000,
 ) -> DataFrame:
     """Generic interval-overlap (range) join without a cartesian
     product: every interval explodes to the fixed-width time buckets
@@ -464,15 +465,49 @@ def interval_overlap_join(
 
     Start/end columns must be integer epoch units (callers produce
     them via ``_micros``-style exact arithmetic).
+
+    ``max_fanout`` bounds the per-row explode width: one open-ended
+    sentinel interval (e.g. end = INT64_MAX) would otherwise make
+    F.sequence emit billions of elements on a single row and die with
+    an opaque array-length error — instead the row fails the job with
+    a message naming the row's span and this knob. Clamp sentinel ends
+    (or raise bucket_seconds) rather than raising max_fanout past
+    Spark's ~2^31 array cap.
+
+    The two inputs' column names must be disjoint apart from
+    ``how_cols`` (checked at plan time): the raw join would otherwise
+    return ambiguous duplicate columns.
     """
     b = int(bucket_seconds)
+    dup = (set(left.columns) & set(right.columns)) - set(how_cols)
+    if dup:
+        raise ValueError(
+            "interval_overlap_join: columns present on BOTH sides would "
+            f"be ambiguous in the output: {sorted(dup)}; rename/prefix "
+            "one side (only how_cols may be shared)"
+        )
 
     def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        span = (F.col(e) / b).cast("long") - (F.col(s) / b).cast("long") + 1
+        guard = F.when(
+            span > int(max_fanout),
+            F.raise_error(
+                F.format_string(
+                    "interval_overlap_join: interval spans %d buckets of "
+                    f"{b}s (max_fanout={int(max_fanout)}); clamp sentinel "
+                    "end values or raise bucket_seconds",
+                    span,
+                )
+            ),
+        )
         return df.withColumn(
             "_bk",
             F.explode(
-                F.sequence(
-                    (F.col(s) / b).cast("long"), (F.col(e) / b).cast("long")
+                F.coalesce(
+                    guard.cast("array<long>"),
+                    F.sequence(
+                        (F.col(s) / b).cast("long"), (F.col(e) / b).cast("long")
+                    ),
                 )
             ),
         )

@@ -1332,8 +1332,12 @@ def train_quality_classifier(
     Determinism contract: weights are rounded to 6 dp at every
     iteration boundary, so the two engines' FP sum-order differences
     (~1e-13 on corpus-scale sums) are quantized away instead of
-    compounding — the same round-at-boundary trick the PageRank
-    operator uses. spark.ml.LogisticRegression exists but is neither
+    compounding. (kg.pagerank, by contrast, rounds only at READOUT:
+    its per-iteration values are sums of rank/degree fractions whose
+    cross-engine drift stays ~1e-13 per iteration over its fixed small
+    iteration count — here the sigmoid's exponential would AMPLIFY
+    drift multiplicatively, so boundary rounding is load-bearing.)
+    spark.ml.LogisticRegression exists but is neither
     iteration-deterministic nor oracle-mirrorable; this is, and three
     fixed iterations are the contract.
 

@@ -211,8 +211,11 @@ def compact_files(
     write-once fix, run at batch barriers.
 
     Returns (files_before, files_after). The rewrite goes through a
-    temp dir + atomic-ish swap (write, delete original, rename), so a
-    crash leaves either the original or the compacted copy readable —
+    temp dir + rename-aside swap: write tmp, rename original ->
+    ``_precompact`` backup, rename tmp into place, delete the backup.
+    The dataset path is unreadable only between the two renames (each a
+    single metadata op on HDFS-like stores), and a crash anywhere
+    leaves a complete copy recoverable at the backup or tmp path —
     mirrors the staging-dir discipline in materialize.py.
     """
     sc = spark.sparkContext
@@ -236,13 +239,30 @@ def compact_files(
     tmp = path.rstrip("/") + "_compacting"
     df.write.mode("overwrite").parquet(tmp)
     # Hadoop FileSystem signals failure by RETURNING false, not by
-    # raising — an unchecked swap could delete the original and leave
-    # the compacted copy stranded while reporting success
-    if not fs.delete(p, True):
-        raise IOError(f"compact_files: could not delete original {path}")
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p):
+    # raising — an unchecked swap could drop the original and leave
+    # the compacted copy stranded while reporting success. Rename the
+    # original ASIDE first (never delete-then-rename: that window
+    # strands the data entirely if the second op fails or the driver
+    # dies between them).
+    hpath = jvm.org.apache.hadoop.fs.Path
+    backup = hpath(path.rstrip("/") + "_precompact")
+    if fs.exists(backup) and not fs.delete(backup, True):
+        raise IOError(f"compact_files: stale backup {backup} undeletable")
+    if not fs.rename(p, backup):
         raise IOError(
-            f"compact_files: rename {tmp} -> {path} failed; compacted "
-            f"data is intact at {tmp}"
+            f"compact_files: could not move original {path} aside; "
+            f"original untouched, compacted data intact at {tmp}"
+        )
+    if not fs.rename(hpath(tmp), p):
+        # put the original back so readers never see a missing dataset
+        fs.rename(backup, p)
+        raise IOError(
+            f"compact_files: rename {tmp} -> {path} failed; original "
+            f"restored, compacted data is intact at {tmp}"
+        )
+    if not fs.delete(backup, True):
+        raise IOError(
+            f"compact_files: swap complete but backup {backup} was not "
+            "deleted; remove it manually"
         )
     return n_before, n_after

@@ -74,6 +74,7 @@ def salted_join(
     on: str,
     n_salts: int = 16,
     how: str = "inner",
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: the BIG side gets a random salt in
     [0, n_salts), the SMALL side is replicated once per salt value, and
@@ -94,15 +95,37 @@ def salted_join(
             "the replicated small side would emit its unmatched rows once "
             "per salt under right/full semantics"
         )
+    if n_parts is None:
+        spark = big.sparkSession
+        n_parts = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        )
+    # the EXPLICIT numPartitions repartition on (key, salt) is
+    # load-bearing, same reason as pipeline.rules_to_connections: the
+    # pre-join bytes of a skewed-but-small fact side are tiny, so AQE
+    # would coalesce the (key, salt) exchange back down to a handful of
+    # partitions and re-serialize the hot key's fan-out onto one task —
+    # measured 6.3 s coalesced vs 0.98 s explicit on the 60k-rule x 180-
+    # date skew bench. REPARTITION_BY_NUM is AQE-coalesce-exempt, and
+    # HashPartitioning(key, salt) satisfies the join's distribution so
+    # the SMJ adds NO further exchange on either side.
     salted_big = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()),
                F.lit(int(n_salts))).cast("int"),
-    )
+    ).repartition(int(n_parts), F.col(on), F.col("_salt"))
     replicated = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(int(n_salts))]))
-    )
-    return salted_big.join(replicated, [on, "_salt"], how).drop("_salt")
+    ).repartition(int(n_parts), F.col(on), F.col("_salt"))
+    # pin a sort-merge join: the replicated side is n_salts x |small| by
+    # construction — if it fit in broadcast memory the caller should
+    # broadcast the ORIGINAL small side and skip salting entirely, and
+    # letting AQE pick a broadcast of the blown-up side is exactly the
+    # 8-GiB-broadcast failure this operator exists to avoid. SMJ on
+    # (key, salt) is the classic salted shape: no single reducer owns a
+    # hot key, and neither side needs to fit in task memory.
+    return salted_big.join(replicated.hint("merge"), [on, "_salt"], how).drop("_salt")
 
 
 def key_profile(

@@ -445,3 +445,29 @@ def test_ab_metrics_deterministic_and_partitions_users(spark):
     assert sum(r[1] for r in a) == 40   # every user in exactly one arm
     assert sum(r[2] for r in a) == 400  # every event counted once
     assert len(a) == 2
+
+
+def test_interval_overlap_join_fanout_guard_and_ambiguity(spark):
+    """ADVICE r4: an open-ended sentinel interval must fail with a clear
+    message (not an opaque array-cap error), and shared non-how_cols
+    column names must be rejected at plan time."""
+    import pytest
+    from gtfs2lc_spark.datapipe import events as ev
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 0, 2**40)], ["lid", "l_start", "l_end"]
+    )
+    right = spark.createDataFrame([(10, 50, 80)], ["rid", "r_start", "r_end"])
+    ok = ev.interval_overlap_join(
+        left.where("lid = 1"), right, bucket_seconds=64, max_fanout=10
+    ).collect()
+    assert {(r["lid"], r["rid"]) for r in ok} == {(1, 10)}
+    with pytest.raises(Exception, match="max_fanout"):
+        ev.interval_overlap_join(
+            left, right, bucket_seconds=64, max_fanout=1000
+        ).collect()
+
+    both = left.withColumnRenamed("lid", "id")
+    other = right.withColumnRenamed("rid", "id")
+    with pytest.raises(ValueError, match="ambiguous"):
+        ev.interval_overlap_join(both, other, bucket_seconds=64)
