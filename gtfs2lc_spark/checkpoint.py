@@ -222,7 +222,9 @@ class HistoryStore:
             json.dump(metrics, f, indent=1)
         return SnapshotInfo(sid, snap_dir, metrics)
 
-    def compact(self, up_to: int | None = None) -> SnapshotInfo:
+    def compact(
+        self, up_to: int | None = None, lock_ttl_s: float = 3600.0
+    ) -> SnapshotInfo:
         """Rewrite every snapshot with id <= ``up_to`` (plus any prior
         base) into ONE distinct-pair base table (VERDICT r3 #6). A year
         of streaming batches otherwise leaves thousands of tiny
@@ -241,7 +243,61 @@ class HistoryStore:
         COMMIT POINT — then superseded dirs (old base, per-snapshot
         dirs <= up_to) are deleted. A crash before the marker leaves an
         ignored orphan base; a crash during deletion leaves superseded
-        dirs that snapshots() skips and the next compact() sweeps."""
+        dirs that snapshots() skips and the next compact() sweeps.
+
+        CONCURRENCY (VERDICT r4 #7). compact() vs a concurrent
+        ``commit()`` needs no lock — every interleaving is safe by
+        marker ordering:
+
+        - commit of a NEW id lands a ``snapshot=N`` dir with N > up_to
+          (up_to is chosen from the snapshots visible at entry, and the
+          guards pin it below the newest): the sweep only removes ids
+          <= up_to, and the marker floor stays below N, so the new
+          snapshot is visible throughout.
+        - a REPLAYED streaming commit (explicit snapshot_id <= up_to)
+          rewrites, by the replay-determinism contract, IDENTICAL
+          content that the base already merged. If the marker lands
+          first, commit() raises at its floor check; if commit wins the
+          race, the re-created dir sits at-or-below the floor where
+          snapshots() permanently ignores it — either way load()
+          answers are unchanged. (A mid-scan overwrite can at worst
+          fail compact's read -> it aborts BEFORE the marker; rerun.)
+        - concurrent AUTO-id commits were never safe with or without
+          compaction (both compute max+1); streaming always passes the
+          batch id, and batch callers must serialize their own commits.
+
+        compact() vs compact() DOES need exclusion: each sweeps every
+        ``base-*`` dir except its own, so the slower compactor's marker
+        could end up naming a base the faster one already deleted. A
+        ``_compact.lock`` (O_CREAT|O_EXCL — atomic on POSIX and HDFS-
+        style stores) serializes them; a lock older than
+        ``lock_ttl_s`` is presumed crashed and taken over."""
+        os.makedirs(self.path, exist_ok=True)
+        lock = os.path.join(self.path, "_compact.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            age = time.time() - os.path.getmtime(lock)
+            if age < lock_ttl_s:
+                raise RuntimeError(
+                    f"another compact() holds {lock} (age {age:.0f}s < "
+                    f"ttl {lock_ttl_s}s); concurrent compactions would "
+                    "sweep each other's base dirs"
+                )
+            os.replace(lock, lock + ".stale")  # takeover: rename, then own it
+            os.remove(lock + ".stale")
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, json.dumps({"pid": os.getpid(), "at": time.time()}).encode())
+        os.close(fd)
+        try:
+            return self._compact_locked(up_to)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def _compact_locked(self, up_to: int | None) -> SnapshotInfo:
         import uuid
 
         snaps = self.snapshots()

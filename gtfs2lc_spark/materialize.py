@@ -105,3 +105,75 @@ def sweep_staging(spark: SparkSession) -> list[str]:
         hpath = jvm.org.apache.hadoop.fs.Path(p)
         hpath.getFileSystem(hconf).delete(hpath, True)
     return paths
+
+
+def vacuum_staging(
+    spark: SparkSession,
+    base: str | None = None,
+    min_age_s: float = 86400.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """VACUUM for staging dirs LEFT BY CRASHED DRIVERS: the
+    ``_STAGED_PATHS`` registry behind ``sweep_staging()`` is
+    per-process, so a driver that dies mid-job orphans its
+    ``<label>-<12 hex>`` dirs forever. This sweeps every entry under
+    the staging base whose name matches that pattern AND whose
+    modification time is older than ``min_age_s`` (default 24 h — a
+    LIVE driver's staging is younger than any sane vacuum horizon;
+    lower it only when no job can be running). Returns the swept
+    (or, with ``dry_run``, the would-be-swept) paths.
+
+    Run from a maintenance cron or the CLI:
+    ``python -m gtfs2lc_spark.materialize --base <dir> [--min-age-hours N] [--dry-run]``
+    """
+    import re
+    import time
+
+    base = base or spark.conf.get(CONF_DIR_KEY, None)
+    if not base:
+        raise ValueError(f"vacuum_staging needs a base dir (arg or {CONF_DIR_KEY})")
+    pat = re.compile(r"^[A-Za-z0-9_.-]+-[0-9a-f]{12}$")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm = spark.sparkContext._jvm
+    bpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = bpath.getFileSystem(hconf)
+    if not fs.exists(bpath):
+        return []
+    now_ms = time.time() * 1000.0
+    swept = []
+    for st in fs.listStatus(bpath):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not pat.match(name):
+            continue
+        if now_ms - st.getModificationTime() < min_age_s * 1000.0:
+            continue
+        swept.append(st.getPath().toString())
+        if not dry_run:
+            fs.delete(st.getPath(), True)
+    return swept
+
+
+def _main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Vacuum orphaned materialize() parquet staging dirs "
+        "left by crashed drivers"
+    )
+    ap.add_argument("--base", required=True, help="staging base directory")
+    ap.add_argument("--min-age-hours", type=float, default=24.0)
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args()
+    from .session import build_session
+
+    spark = build_session(app_name="gtfs2lc-vacuum", master="local[2]")
+    spark.sparkContext.setLogLevel("ERROR")
+    for p in vacuum_staging(
+        spark, args.base, args.min_age_hours * 3600.0, args.dry_run
+    ):
+        print(("DRY " if args.dry_run else "RM  ") + p)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    _main()

@@ -157,3 +157,136 @@ def test_compaction_guards(spark, store):
     store.commit(_pairs_df(spark, [("f", "b", "20070101")]), snapshot_id=1)
     with pytest.raises(ValueError, match="newest"):
         store.compact(up_to=1)
+
+
+def test_compact_excludes_concurrent_compact(spark, store):
+    """VERDICT r4 #7: two compactions must never interleave — each
+    sweeps every base-* dir but its own, so the slower one's marker
+    could name a base the faster one deleted. The _compact.lock
+    serializes them; a stale lock (crashed compactor) is taken over."""
+    import time as _time
+
+    for i in range(3):
+        store.commit(_pairs_df(spark, [("f", f"c{i}", "20070101")]), snapshot_id=i)
+
+    # a held (fresh) lock blocks
+    lock = os.path.join(store.path, "_compact.lock")
+    with open(lock, "w") as f:
+        f.write("{}")
+    with pytest.raises(RuntimeError, match="another compact"):
+        store.compact()
+    # ...and is NOT silently removed by the failed attempt
+    assert os.path.exists(lock)
+
+    # a stale lock (older than ttl) is taken over and compaction runs
+    old = _time.time() - 7200
+    os.utime(lock, (old, old))
+    info = store.compact(lock_ttl_s=3600)
+    assert info.metrics["covers_up_to"] == 1
+    assert not os.path.exists(lock)  # released on success
+    assert _hist(spark, store) == {("f", "c0", "20070101"),
+                                   ("f", "c1", "20070101"),
+                                   ("f", "c2", "20070101")}
+
+    # released on FAILURE too (guard error inside the locked section)
+    with pytest.raises(ValueError, match="need >=2"):
+        store.compact()
+    assert not os.path.exists(lock)
+
+
+def test_commit_during_compact_interleavings(spark, store, monkeypatch):
+    """VERDICT r4 #7: a streaming commit() landing anywhere inside a
+    running compact() must never lose data. Pin the worst window — the
+    commit lands AFTER compact chose its snapshot set and wrote the new
+    base, BEFORE the marker replace — by intercepting the marker's
+    os.replace."""
+    import gtfs2lc_spark.checkpoint as cp
+
+    for i in range(3):
+        store.commit(_pairs_df(spark, [("f", f"u{i}", "20070101")]), snapshot_id=i)
+
+    real_replace = os.replace
+    fired = {}
+
+    def replace_with_commit(src, dst):
+        # first marker replace of this test: sneak in batch 3's commit,
+        # exactly as a live stream would while maintenance compacts
+        if dst.endswith(cp.HistoryStore.MARKER) and not fired:
+            fired["yes"] = True
+            store.commit(
+                _pairs_df(spark, [("f", "u3", "20070103")]), snapshot_id=3
+            )
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(cp.os, "replace", replace_with_commit)
+    store.compact()  # covers 0..1 (second-newest at entry)
+    monkeypatch.setattr(cp.os, "replace", real_replace)
+
+    assert fired
+    assert store.compacted_through() == 1
+    # the concurrent snapshot survived the sweep and is fully visible
+    assert store.snapshots() == [2, 3]
+    assert _hist(spark, store) == {
+        ("f", "u0", "20070101"), ("f", "u1", "20070101"),
+        ("f", "u2", "20070101"), ("f", "u3", "20070103"),
+    }
+    # and the replay bound for the concurrent batch still answers
+    assert _hist(spark, store, before=3) == {
+        ("f", "u0", "20070101"), ("f", "u1", "20070101"),
+        ("f", "u2", "20070101"),
+    }
+
+
+def test_replayed_commit_vs_compaction_floor(spark, store):
+    """The replayed-batch race, marker-first ordering: once the marker
+    covers a snapshot id, a replayed commit() of that id refuses, and a
+    dir that a commit re-created at-or-below the floor (commit winning
+    the race) is permanently ignored by snapshots()/load()."""
+    for i in range(3):
+        store.commit(_pairs_df(spark, [("f", f"u{i}", "20070101")]), snapshot_id=i)
+    store.compact()  # floor = 1
+    before = _hist(spark, store)
+
+    # marker landed first -> replay refuses
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        store.commit(_pairs_df(spark, [("f", "u1", "20070101")]), snapshot_id=1)
+
+    # commit won the race -> its dir sits below the floor, ignored
+    ghost = os.path.join(store.path, "snapshot=0")
+    os.makedirs(ghost, exist_ok=True)
+    _pairs_df(spark, [("f", "u0", "20070101")]).write.mode("overwrite").parquet(ghost)
+    with open(os.path.join(ghost, "_metrics.json"), "w") as f:
+        json.dump({"snapshot_id": 0}, f)
+    assert store.snapshots() == [2]
+    assert _hist(spark, store) == before
+
+
+def test_kill_and_resume_parquet_strategy(spark, connections, store, tmp_path):
+    """VERDICT r4 #8: the kill-and-resume contract holds under the
+    cluster-grade 'parquet' materialize strategy (staging survives
+    driver loss), not just the sandbox localCheckpoint."""
+    from gtfs2lc_spark import materialize as mat
+
+    spark.conf.set(mat.CONF_KEY, "parquet")
+    spark.conf.set(mat.CONF_DIR_KEY, str(tmp_path / "stage"))
+    try:
+        delta1, snap1 = convert_incremental(connections, store)
+        assert delta1.count() == 3472
+        os.remove(os.path.join(snap1.path, "_metrics.json"))
+        assert store.snapshots() == []
+        delta2, snap2 = convert_incremental(connections, store)
+        assert spark.read.parquet(snap2.path).count() == 3472
+        delta3, _ = convert_incremental(connections, store)
+        assert delta3.count() == 0
+        # the deltas were staged as parquet (lineage cut at files)
+        staged = list((tmp_path / "stage").glob("j7-delta-*"))
+        assert len(staged) == 3
+        # batch barrier: sweep reclaims every staging dir (the registry
+        # is per-app and other tests on this shared session may have
+        # contributed entries — only OUR dirs are asserted)
+        swept = mat.sweep_staging(spark)
+        assert sum(1 for p in swept if "/j7-delta-" in p and str(tmp_path) in p) == 3
+        assert list((tmp_path / "stage").glob("j7-delta-*")) == []
+    finally:
+        spark.conf.unset(mat.CONF_KEY)
+        spark.conf.unset(mat.CONF_DIR_KEY)

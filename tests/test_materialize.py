@@ -160,3 +160,40 @@ def test_sweep_staging(spark, tmp_path):
     # local strategy registers nothing
     mat.materialize(_probe_df(spark))
     assert mat.sweep_staging(spark) == []
+
+
+def test_vacuum_staging_orphans_only(spark, tmp_path):
+    """VERDICT r4 #8: vacuum sweeps CRASHED drivers' staging dirs —
+    matching the <label>-<12 hex> pattern AND older than min_age —
+    and nothing else."""
+    import os
+    import time
+
+    base = tmp_path / "stage"
+    base.mkdir()
+    orphan = base / "j7-delta-0123456789ab"
+    fresh = base / "pages-abcdef012345"
+    unrelated = base / "user-data"
+    for d in (orphan, fresh, unrelated):
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x")
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    os.utime(unrelated, (old, old))  # old but NOT ours: must survive
+
+    would = mat.vacuum_staging(spark, str(base), min_age_s=3600, dry_run=True)
+    assert [p.rsplit("/", 1)[-1] for p in would] == ["j7-delta-0123456789ab"]
+    assert orphan.exists()  # dry run touched nothing
+
+    swept = mat.vacuum_staging(spark, str(base), min_age_s=3600)
+    assert [p.rsplit("/", 1)[-1] for p in swept] == ["j7-delta-0123456789ab"]
+    assert not orphan.exists()
+    assert fresh.exists() and unrelated.exists()
+
+    # live-driver safety: a dir created by materialize() right now is
+    # younger than the horizon, so a concurrent vacuum skips it
+    with _conf(spark, **{mat.CONF_KEY: "parquet",
+                         mat.CONF_DIR_KEY: str(base)}):
+        out = mat.materialize(_probe_df(spark), "live")
+        assert mat.vacuum_staging(spark, str(base), min_age_s=3600) == []
+        assert out.count() == 100
