@@ -1425,11 +1425,16 @@ def _q_kg_state_at(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: kNN-graph neighbors
     (embedding-close) anti-joined against MinHash near-dup pairs
-    (text-duplicate — those are positives, not negatives)."""
+    (text-duplicate — those are positives, not negatives). Gate
+    restricts BOTH tables to the same deterministic 1/5 doc slice
+    (ids stay aligned — hard_negatives' id-space precondition): the
+    md5 portability shim the oracle needs is ~5x the production
+    xxhash64 path, and the slice keeps the replica's most expensive
+    query inside the driver's budget (VERDICT r4 #2)."""
     from gtfs2lc_spark.datapipe import curate
 
-    d = _load(spark, sf_dir, "documents")
-    e = _load(spark, sf_dir, "embeddings")
+    d = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    e = _load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
     return curate.hard_negatives(d, e, k=3, n_planes=6, threshold=0.5, hash_fn="md5")
 
 
@@ -1835,6 +1840,7 @@ def _sql_hard_negatives(
     return f"""
         WITH kc AS (
           SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+          WHERE vec_id % 5 = 0
         ),
         kscored AS (
           SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
@@ -1852,7 +1858,8 @@ def _sql_hard_negatives(
                  max(cosine) AS cosine
           FROM kranked WHERE rank <= {k} GROUP BY 1, 2
         ),
-        {_minhash_pairs_ctes(num_perm, bands)},
+        {_minhash_pairs_ctes(num_perm, bands,
+                             src="(SELECT * FROM documents WHERE doc_id % 5 = 0)")},
         dups AS (SELECT id_a, id_b FROM scored WHERE jaccard >= {threshold})
         SELECT k.id_a, k.id_b, k.cosine
         FROM knn k ANTI JOIN dups d ON k.id_a = d.id_a AND k.id_b = d.id_b
