@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gtfs2lc_spark import extraction, fixtures, kg, oracle, pipeline, postprocess, sinks
-from gtfs2lc_spark.datapipe import dedup, multimodal, packing, similarity, text, web
+from gtfs2lc_spark.datapipe import dedup, multimodal, packing, similarity, sketch, text, web
 from gtfs2lc_spark.datapipe import events as dp_events
 
 
@@ -554,6 +554,25 @@ def _q_j6_date_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("day"),
     ).select("o_orderkey", F.date_format("day", "yyyy-MM-dd").alias("service_day"))
+
+
+def _q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless Bloom-bitmap-prefiltered semi-join (sketch.py):
+    lineitem ⋉ urgent early orders. The bitmap broadcast prunes the
+    fact side with codegen'd bit tests BEFORE any key exchange — the
+    explicit, plan-testable form of Spark's runtime bloom filter —
+    and the confirm semi-join removes false positives, so the result
+    is exactly the plain semi-join's."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1995-06-01 00:00:00")))
+    )
+    hits = sketch.bloom_semi_join(li, "l_orderkey", orders, "o_orderkey")
+    return hits.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    )
 
 
 def _q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1583,6 +1602,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": _q_seq_pack,
         "interval_join": _q_interval_join,
         "asof_join": _q_asof_join,
+        "bloom_semi_join": _q_bloom_semi_join,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2640,6 +2660,16 @@ def oracle_sql() -> dict[str, str]:
                    r.ts AS last_error_ts, r.v AS last_error_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "bloom_semi_join": """
+            SELECT l_orderkey, COUNT(*) AS n_items,
+                   round(SUM(l_quantity), 6) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+                AND o_orderdate < TIMESTAMP '1995-06-01 00:00:00')
+            GROUP BY 1
         """,
         "pmi_collocations": _sql_pmi_collocations(),
         "kg_earliest_arrival": oracle.sql_earliest_arrival(
