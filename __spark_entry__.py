@@ -575,6 +575,25 @@ def _q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant record linkage (kg.fuzzy_link): deterministic
+    one-char typos injected into part names ('x' at position 3, on
+    both engines) link back to the canonical part dictionary via
+    blocked Levenshtein (shared 2-char prefix + length band), per-
+    mention argmin with (dist, id) tie-break."""
+    part = _load(spark, sf_dir, "part")
+    mentions = part.where(F.col("p_partkey") % 4 == 0).select(
+        F.col("p_partkey").alias("mention_id"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.lit("x"), F.expr("substring(p_name, 4)")
+        ).alias("raw"),
+    )
+    return kg.fuzzy_link(
+        mentions, part, raw_col="raw", id_col="p_partkey", name_col="p_name",
+        max_dist=1, block_prefix=2,
+    )
+
+
 def _q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-J3 shape: fact + broadcast dimension chain, grouped revenue."""
     li = _load(spark, sf_dir, "lineitem")
@@ -1626,6 +1645,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_match": _q_kg_bgp_match,
         "kg_star_join": _q_kg_star_join,
         "kg_entity_link": _q_kg_entity_link,
+        "fuzzy_link": _q_fuzzy_link,
         "kg_sameas_closure": _q_kg_sameas_closure,
         "kg_canonical_triples": _q_kg_canonical_triples,
         "kg_triple_diff": _q_kg_triple_diff,
@@ -2660,6 +2680,31 @@ def oracle_sql() -> dict[str, str]:
                    r.ts AS last_error_ts, r.v AS last_error_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "fuzzy_link": """
+            WITH mentions AS (
+              SELECT p_partkey AS mention_id,
+                     substr(p_name, 1, 2) || 'x' || substr(p_name, 4) AS raw
+              FROM part WHERE p_partkey % 4 = 0
+            ), m AS (
+              SELECT mention_id,
+                     trim(regexp_replace(lower(raw), '[^a-z0-9]+', ' ', 'g')) AS mnm
+              FROM mentions
+            ), d AS (
+              SELECT p_partkey AS linked_id,
+                     trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS dnm
+              FROM part
+            ), cand AS (
+              SELECT mention_id, linked_id,
+                     CAST(levenshtein(mnm, dnm) AS INTEGER) AS dist
+              FROM m JOIN d ON substr(mnm, 1, 2) = substr(dnm, 1, 2)
+                           AND abs(len(mnm) - len(dnm)) <= 1
+              WHERE levenshtein(mnm, dnm) <= 1
+            )
+            SELECT mention_id, linked_id, dist FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY mention_id ORDER BY dist, linked_id) AS rn
+              FROM cand) WHERE rn = 1
         """,
         "bloom_semi_join": """
             SELECT l_orderkey, COUNT(*) AS n_items,

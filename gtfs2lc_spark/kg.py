@@ -28,7 +28,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .materialize import materialize
@@ -40,6 +40,7 @@ __all__ = [
     "triple_diff",
     "normalize_entity_name",
     "link_entities",
+    "fuzzy_link",
     "geo_cluster_pairs",
     "pagerank",
     "bgp_match",
@@ -298,6 +299,70 @@ def link_entities(
         )
     )
     return out.drop("_eid", "_nid", "_nname")
+
+
+def fuzzy_link(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    mention_id_col: str = "mention_id",
+    raw_col: str = "raw",
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 1,
+    block_prefix: int = 2,
+) -> DataFrame:
+    """Approximate record linkage: each mention links to the canonical
+    entity whose normalized name is closest by Levenshtein distance
+    (≤ ``max_dist``), ties broken by smallest id — the typo-tolerant
+    tier BELOW :func:`link_entities`' exact tiers (the reference links
+    purely by exact id through its LevelDB store,
+    lib/stores/StoreManager.js:9-13; fuzzy surface matching is what a
+    web-scale extractor needs when page text misspells stop names).
+
+    Candidate generation is BLOCKED, the standard record-linkage
+    tradeoff made explicit: a candidate pair must share the first
+    ``block_prefix`` chars of the normalized name and sit within
+    ``max_dist`` of each other's length. An edit inside the block
+    prefix therefore escapes linkage (recall < 1 by design — that is
+    what bounds the pair count; ``block_prefix=0`` degrades to one
+    block per length band if full recall matters more than cost).
+
+    Scale posture: the dictionary is dimension-sized, so the blocked
+    dictionary broadcasts and the mention fact side joins without a
+    shuffle; ``levenshtein`` is JVM codegen (O(len²) per CANDIDATE,
+    never per cross-pair). The only exchange is the per-mention argmin
+    over candidate rows (bounded by block fan-out, not corpus size).
+    Output: ``(mention_id, linked_id, dist)`` for linked mentions only
+    — unlinked mentions are the caller's anti-join away.
+    """
+    m_norm = normalize_entity_name(F.col(raw_col))
+    d_norm = normalize_entity_name(F.col(name_col))
+    m = mentions.select(
+        F.col(mention_id_col).alias("mention_id"),
+        m_norm.alias("_mnm"),
+        F.substring(m_norm, 1, block_prefix).alias("_blk"),
+        F.length(m_norm).alias("_mln"),
+    )
+    d = F.broadcast(
+        dictionary.select(
+            F.col(id_col).alias("linked_id"),
+            d_norm.alias("_dnm"),
+            F.substring(d_norm, 1, block_prefix).alias("_blk"),
+            F.length(d_norm).alias("_dln"),
+        )
+    )
+    cand = (
+        m.join(d, "_blk")
+        .where(F.abs(F.col("_mln") - F.col("_dln")) <= max_dist)
+        .withColumn("dist", F.levenshtein("_mnm", "_dnm"))
+        .where(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("mention_id").orderBy("dist", "linked_id")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("mention_id", "linked_id", "dist")
+    )
 
 
 def geo_cluster_pairs(

@@ -656,3 +656,49 @@ def test_crawl_priorities_ordering(spark):
     assert got[1]["n_docs"] == 0
     assert got[1]["crawl_priority"] > got[0]["crawl_priority"]
     assert got[0]["crawl_priority"] == round(got[0]["rank"] / 10, 6)
+
+
+def test_fuzzy_link_typo_tiers_and_blocking(spark):
+    """Exact match links at dist 0 (min-id tie-break over duplicate
+    names); a 1-char typo past the block prefix links at dist 1; an
+    edit INSIDE the 2-char block prefix escapes linkage (the documented
+    blocking recall tradeoff); distance > max_dist stays unlinked."""
+    from gtfs2lc_spark import kg
+
+    dictionary = spark.createDataFrame(
+        [(10, "Main Street"), (11, "Main Street"), (20, "Market Square"),
+         (30, "Harbor View")],
+        ["id", "name"],
+    )
+    mentions = spark.createDataFrame(
+        [
+            (1, "main street"),     # exact after normalization -> 10 (min id)
+            (2, "maim street"),     # 1 edit at pos 4 -> dist 1 -> 10
+            (3, "XXin street"),     # edits inside block prefix -> no link
+            (4, "mzzn street"),     # dist 2 > max_dist -> no link
+            (5, "harbor  view!"),   # normalization collapse -> exact 30
+        ],
+        ["mention_id", "raw"],
+    )
+    got = {r["mention_id"]: (r["linked_id"], r["dist"])
+           for r in kg.fuzzy_link(mentions, dictionary, max_dist=1).collect()}
+    assert got == {1: (10, 0), 2: (10, 1), 5: (30, 0)}
+
+
+def test_fuzzy_link_plan_broadcasts_dictionary(spark):
+    from gtfs2lc_spark import kg
+    from pyspark.sql import functions as F
+
+    mentions = spark.range(0, 100).select(
+        F.col("id").alias("mention_id"),
+        F.concat(F.lit("name"), F.col("id")).alias("raw"),
+    )
+    dictionary = spark.range(0, 50).select(
+        F.col("id").alias("id"), F.concat(F.lit("name"), F.col("id")).alias("name")
+    )
+    plan = (
+        kg.fuzzy_link(mentions, dictionary)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
