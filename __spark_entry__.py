@@ -575,6 +575,15 @@ def _q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily series with forward fill
+    (events.gap_fill): one row per (user, day) between each user's
+    first and last active day; inactive days carry the last observed
+    daily value-sum with observed=false."""
+    ev = _load(spark, sf_dir, "events")
+    return dp_events.gap_fill(ev, step_seconds=86400)
+
+
 def _q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant record linkage (kg.fuzzy_link): deterministic
     one-char typos injected into part names ('x' at position 3, on
@@ -1622,6 +1631,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "asof_join": _q_asof_join,
         "bloom_semi_join": _q_bloom_semi_join,
+        "gap_fill": _q_gap_fill,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2680,6 +2690,27 @@ def oracle_sql() -> dict[str, str]:
                    r.ts AS last_error_ts, r.v AS last_error_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "gap_fill": """
+            WITH b AS (
+              SELECT user_id,
+                     (epoch_us(ts) // 86400000000) * 86400 AS _bucket,
+                     round(SUM(value), 6) AS _sum
+              FROM events GROUP BY 1, 2
+            ), runs AS (
+              SELECT user_id, _bucket, _sum,
+                     coalesce(lead(_bucket) OVER (
+                       PARTITION BY user_id ORDER BY _bucket) - 86400,
+                       _bucket) AS _end
+              FROM b
+            )
+            SELECT user_id,
+                   CAST(unnest(generate_series(_bucket, _end, 86400)) AS BIGINT)
+                     AS bucket_start,
+                   _sum AS value,
+                   CAST(unnest(generate_series(_bucket, _end, 86400)) AS BIGINT)
+                     = _bucket AS observed
+            FROM runs
         """,
         "fuzzy_link": """
             WITH mentions AS (

@@ -562,3 +562,75 @@ def ab_metrics(
             F.round(F.avg("v"), 6).alias("mean_value"),
         )
     )
+
+
+def gap_fill(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 86400,
+    max_fill: int = 100_000,
+) -> DataFrame:
+    """Dense per-key time series with forward fill: aggregate
+    ``value_col`` into fixed ``step_seconds`` buckets per key, then
+    emit EVERY bucket between each key's first and last observed
+    bucket, carrying the last observed aggregate across gaps — the
+    resample/ffill step feature pipelines need before windowed models
+    (ML feature matrices want one row per (key, period), not a sparse
+    event log).
+
+    Forward fill WITHOUT a second join or an unbounded-window scan:
+    after the bucket rollup, ``lead(bucket)`` per key bounds each
+    observed row's fill run, and one map-side ``sequence`` explode
+    emits the run carrying that row's value — so the whole operator is
+    the rollup exchange plus ONE key-ordered window pass; the explode
+    adds rows but never shuffles them again.
+
+    ``observed`` marks real buckets (false = carried forward). A gap
+    longer than ``max_fill`` steps raises at runtime with the offending
+    key and knob named (an open-ended sentinel timestamp would
+    otherwise explode millions of rows per input row — same guard
+    contract as :func:`interval_overlap_join`).
+
+    Output: ``(user_id, bucket_start: long epoch sec, value, observed)``.
+    """
+    step = int(step_seconds)
+    sec = (_micros(F.col(ts_col)) / F.lit(1_000_000).cast("bigint")).cast("long")
+    bucket = ((sec / F.lit(step)).cast("long") * step).alias("_bucket")
+    rolled = (
+        events.select(F.col(user_col), bucket, F.col(value_col).alias("_v"))
+        .groupBy(user_col, "_bucket")
+        .agg(F.round(F.sum("_v"), 6).alias("_sum"))
+    )
+    w = Window.partitionBy(user_col).orderBy("_bucket")
+    # window result staged as a column first — a generator argument may
+    # not contain a window expression
+    staged = rolled.withColumn(
+        "_end",
+        F.coalesce(F.lead("_bucket").over(w) - F.lit(step), F.col("_bucket")),
+    )
+    guarded_end = F.when(
+        (F.col("_end") - F.col("_bucket")) / F.lit(step) > F.lit(int(max_fill)),
+        F.raise_error(
+            F.concat(
+                F.lit(f"gap_fill: fill run exceeds max_fill={int(max_fill)} steps for key "),
+                F.col(user_col).cast("string"),
+                F.lit("; raise max_fill or pre-filter sentinel timestamps"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_end"))
+    filled = staged.select(
+        F.col(user_col),
+        F.col("_bucket"),
+        F.col("_sum"),
+        F.explode(F.sequence(F.col("_bucket"), guarded_end, F.lit(step))).alias(
+            "bucket_start"
+        ),
+    )
+    return filled.select(
+        user_col,
+        "bucket_start",
+        F.col("_sum").alias("value"),
+        (F.col("bucket_start") == F.col("_bucket")).alias("observed"),
+    )

@@ -471,3 +471,43 @@ def test_interval_overlap_join_fanout_guard_and_ambiguity(spark):
     other = right.withColumnRenamed("rid", "id")
     with pytest.raises(ValueError, match="ambiguous"):
         ev.interval_overlap_join(both, other, bucket_seconds=64)
+
+
+def test_gap_fill_forward_fills_and_flags(spark):
+    from gtfs2lc_spark.datapipe import events as ev
+
+    rows = [
+        # user 1: active day 0 (two events), gap days 1-2, active day 3
+        (1, dt.datetime(2024, 1, 1, 5, 0, 0), 2.0),
+        (1, dt.datetime(2024, 1, 1, 9, 0, 0), 3.0),
+        (1, dt.datetime(2024, 1, 4, 1, 0, 0), 7.0),
+        # user 2: single active day -> single row, no fill
+        (2, dt.datetime(2024, 1, 2, 0, 0, 0), 1.5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {
+        (r["user_id"], r["bucket_start"]): (r["value"], r["observed"])
+        for r in ev.gap_fill(df, step_seconds=86400).collect()
+    }
+    d0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    day = 86400
+    assert got[(1, d0)] == (5.0, True)
+    assert got[(1, d0 + day)] == (5.0, False)       # carried forward
+    assert got[(1, d0 + 2 * day)] == (5.0, False)   # carried forward
+    assert got[(1, d0 + 3 * day)] == (7.0, True)
+    assert got[(2, d0 + day)] == (1.5, True)
+    assert len(got) == 5
+
+
+def test_gap_fill_fanout_guard(spark):
+    import pytest
+
+    from gtfs2lc_spark.datapipe import events as ev
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1.0),
+        (1, dt.datetime(2030, 1, 1), 2.0),  # ~2192-day gap
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    with pytest.raises(Exception, match="max_fill"):
+        ev.gap_fill(df, step_seconds=86400, max_fill=100).collect()
