@@ -584,6 +584,30 @@ def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_events.gap_fill(ev, step_seconds=86400)
 
 
+def _q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly screen (events.zscore_outliers):
+    moments from one unbounded group window, round-at-boundary 6 dp,
+    threshold on the rounded |z|."""
+    ev = _load(spark, sf_dir, "events")
+    return dp_events.zscore_outliers(ev, threshold=2.0)
+
+
+def _q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window surfaces in one pass: quartile (ntile),
+    percent_rank and cume_dist of each doc's length within its language —
+    deterministic under the (n_chars, doc_id) total order."""
+    d = _load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def _q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant record linkage (kg.fuzzy_link): deterministic
     one-char typos injected into part names ('x' at position 3, on
@@ -1632,6 +1656,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "bloom_semi_join": _q_bloom_semi_join,
         "gap_fill": _q_gap_fill,
+        "zscore_outliers": _q_zscore_outliers,
+        "rank_metrics": _q_rank_metrics,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2690,6 +2716,26 @@ def oracle_sql() -> dict[str, str]:
                    r.ts AS last_error_ts, r.v AS last_error_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "zscore_outliers": """
+            WITH z AS (
+              SELECT event_id, event_type AS "group", value,
+                     round(stddev_samp(value) OVER w, 6) AS _std,
+                     round((value - round(avg(value) OVER w, 6))
+                           / round(stddev_samp(value) OVER w, 6), 6) AS z
+              FROM events
+              WINDOW w AS (PARTITION BY event_type)
+            )
+            SELECT event_id, "group", value, z
+            FROM z WHERE _std > 0 AND abs(z) >= 2.0
+        """,
+        "rank_metrics": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM documents
+            WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
         """,
         "gap_fill": """
             WITH b AS (

@@ -634,3 +634,47 @@ def gap_fill(
         F.col("_sum").alias("value"),
         (F.col("bucket_start") == F.col("_bucket")).alias("observed"),
     )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group z-score anomaly flagging: events whose value deviates
+    from their group's mean by ≥ ``threshold`` sample standard
+    deviations — the cheap first-pass outlier screen before anything
+    model-based (value-corruption detection in training corpora, metric
+    spike triage).
+
+    One exchange: both moments come from an unbounded window over the
+    group key, so the stats and the per-row z share a single partition
+    pass — no aggregate-then-join-back. Mean and stddev are rounded at
+    the 6-dp boundary BEFORE the z computation (the round-at-boundary
+    determinism contract of text.train_quality_classifier: the division
+    would amplify last-bit FP-sum-order differences across engines; the
+    raw value itself is bit-exact in both). Degenerate groups
+    (stddev 0 or a single row) emit nothing — there is no deviation to
+    score.
+
+    Output: ``(event_id, group, value, z)``, z rounded 6 dp, filtered
+    on the ROUNDED |z| so the threshold is engine-exact.
+    """
+    w = Window.partitionBy(group_col)
+    mean_r = F.round(F.avg(value_col).over(w), 6)
+    std_r = F.round(F.stddev_samp(value_col).over(w), 6)
+    z = F.round((F.col(value_col) - mean_r) / std_r, 6)
+    return (
+        events.select(
+            F.col(id_col),
+            F.col(group_col).alias("group"),
+            F.col(value_col).alias("value"),
+            std_r.alias("_std"),
+            z.alias("z"),
+        )
+        .where(F.col("_std") > 0)
+        .where(F.abs(F.col("z")) >= float(threshold))
+        .drop("_std")
+    )

@@ -511,3 +511,26 @@ def test_gap_fill_fanout_guard(spark):
     df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
     with pytest.raises(Exception, match="max_fill"):
         ev.gap_fill(df, step_seconds=86400, max_fill=100).collect()
+
+
+def test_zscore_outliers_flags_and_degenerates(spark):
+    from gtfs2lc_spark.datapipe import events as ev
+
+    rows = (
+        # group 'a': nine 10s and one 100 -> the 100 is the outlier
+        [(i, "a", 10.0) for i in range(9)] + [(9, "a", 100.0)]
+        # group 'b': constant -> stddev 0 -> emits nothing
+        + [(20 + i, "b", 5.0) for i in range(4)]
+        # group 'c': single row -> stddev NULL -> emits nothing
+        + [(30, "c", 42.0)]
+    )
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = ev.zscore_outliers(df, threshold=2.0).collect()
+    assert [(r["event_id"], r["group"]) for r in got] == [(9, "a")]
+    # z of the outlier: (100-19)/std; std=round(stddev_samp,6)
+    import statistics
+
+    vals = [10.0] * 9 + [100.0]
+    want_z = round((100.0 - round(statistics.fmean(vals), 6))
+                   / round(statistics.stdev(vals), 6), 6)
+    assert got[0]["z"] == want_z
