@@ -236,6 +236,13 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-2-iteration HITS hubs/authorities over the synthesized
+    host graph — the directional complement of host_pagerank (who
+    points at good content vs what good content is pointed at)."""
+    return kg.hits(_host_edges(spark, sf_dir), iterations=2)
+
+
 def _q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-ordered triangle enumeration over the host graph —
     clustering-coefficient primitive, each triangle exactly once.
@@ -1691,6 +1698,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_stats": _q_kg_predicate_stats,
         "kg_state_at": _q_kg_state_at,
         "host_pagerank": _q_host_pagerank,
+        "host_hits": _q_host_hits,
         "host_triangles": _q_host_triangles,
         "url_filter": _q_url_filter,
         "url_canonicalize": _q_url_canonicalize,
@@ -2285,6 +2293,70 @@ def _sql_host_pagerank(iterations: int = 3, damping: float = 0.85) -> str:
     return f"WITH {ctes}\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
 
 
+def _sql_host_hits(iterations: int = 2) -> str:
+    """Mirror of kg.hits over the synthesized host graph: the rounded
+    L1-normalized hub/authority recurrence unrolled one CTE pair per
+    half-iteration (round-at-boundary 6 dp, same as the Spark side)."""
+    parts = [
+        """e AS (
+  SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+  UNION ALL
+  SELECT (doc_id * 13 + 5) % 97 AS src, doc_id % 97 AS dst FROM documents
+)""",
+        """nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+)""",
+        "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""araw{k} AS (
+  SELECT e.dst AS node, SUM(h.hub) AS s
+  FROM e JOIN h{k - 1} h ON h.node = e.src GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""afull{k} AS (
+  SELECT nodes.node, coalesce(araw{k}.s, 0.0) AS s
+  FROM nodes LEFT JOIN araw{k} ON araw{k}.node = nodes.node
+)"""
+        )
+        parts.append(f"atot{k} AS (SELECT SUM(s) AS t FROM afull{k})")
+        parts.append(
+            f"""a{k} AS (
+  SELECT node, CASE WHEN t > 0 THEN round(s / t, 6) ELSE 0.0 END AS authority
+  FROM afull{k} CROSS JOIN atot{k}
+)"""
+        )
+        parts.append(
+            f"""hraw{k} AS (
+  SELECT e.src AS node, SUM(a.authority) AS s
+  FROM e JOIN a{k} a ON a.node = e.dst GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""hfull{k} AS (
+  SELECT nodes.node, coalesce(hraw{k}.s, 0.0) AS s
+  FROM nodes LEFT JOIN hraw{k} ON hraw{k}.node = nodes.node
+)"""
+        )
+        parts.append(f"htot{k} AS (SELECT SUM(s) AS t FROM hfull{k})")
+        parts.append(
+            f"""h{k} AS (
+  SELECT node, CASE WHEN t > 0 THEN round(s / t, 6) ELSE 0.0 END AS hub
+  FROM hfull{k} CROSS JOIN htot{k}
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT nodes.node, h{iterations}.hub, a{iterations}.authority\n"
+        f"FROM nodes JOIN h{iterations} ON h{iterations}.node = nodes.node\n"
+        f"JOIN a{iterations} ON a{iterations}.node = nodes.node"
+    )
+
+
 def _sql_host_triangles() -> str:
     """Mirror of kg.triangles over the synthesized host graph —
     id-ordered enumeration (equivalent to the Spark side's
@@ -2609,6 +2681,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_dedup_pairs": _sql_geo_dedup_pairs(),
         "kg_sameas_closure": _sql_kg_sameas_closure(),
         "host_pagerank": _sql_host_pagerank(),
+        "host_hits": _sql_host_hits(),
         "host_triangles": _sql_host_triangles(),
         "kg_bgp_match": oracle.sql_bgp_match(),
         "kg_closure": _sql_kg_closure(),

@@ -43,6 +43,7 @@ __all__ = [
     "fuzzy_link",
     "geo_cluster_pairs",
     "pagerank",
+    "hits",
     "bgp_match",
     "triangles",
     "transitive_closure",
@@ -503,6 +504,99 @@ def pagerank(
             label="pr_ranks",
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities) over a directed edge
+    list — the complement of :func:`pagerank`: pagerank scores global
+    endorsement, HITS separates "pages that point at good content"
+    (hubs) from "content good pages point at" (authorities); crawl
+    frontier schedulers want both signals.
+
+    h_0 = 1 for all nodes; each iteration computes
+    ``a(v) = Σ_{(u,v)} h(u)`` then ``h(u) = Σ_{(u,v)} a(v)``, each
+    L1-normalized and ROUNDED AT THE 6-dp BOUNDARY (unlike pagerank's
+    purely additive update, the normalizing division would amplify
+    FP-sum-order differences multiplicatively across iterations — the
+    same round-at-boundary determinism contract as
+    text.train_quality_classifier, and the DuckDB oracle unrolls the
+    identical rounded recurrence). Multi-edges contribute multiply —
+    ``distinct()`` the edge list first if simple-graph semantics are
+    wanted.
+
+    Scale posture mirrors pagerank: scores are fact-sized, never
+    broadcast; each half-iteration is one equi-join of scores with the
+    edge list plus one map-side-combinable groupBy; only the scalar L1
+    total (one row) broadcasts. Rounds cut lineage through
+    :func:`materialize`. Output: ``(node, hub, authority)``.
+    """
+    e = materialize(
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()),
+        label="hits_edges",
+    )
+    nodes = materialize(
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct(),
+        label="hits_nodes",
+    )
+
+    def _norm(scores: DataFrame, col: str, label: str) -> DataFrame:
+        tot = F.broadcast(scores.agg(F.sum(col).alias("_tot")))
+        return materialize(
+            scores.crossJoin(tot).select(
+                "node",
+                F.when(
+                    F.col("_tot") > 0, F.round(F.col(col) / F.col("_tot"), 6)
+                )
+                .otherwise(F.lit(0.0))
+                .alias(col),
+            ),
+            label=label,
+        )
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = nodes.select("node", F.lit(0.0).alias("authority"))
+    for i in range(int(iterations)):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "_src"), "_src")
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = _norm(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+            f"hits_a{i}",
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "_dst"), "_dst")
+            .groupBy(F.col("_src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hub = _norm(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+            f"hits_h{i}",
+        )
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )
 
 
 def bgp_match(

@@ -702,3 +702,27 @@ def test_fuzzy_link_plan_broadcasts_dictionary(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hits_hubs_vs_authorities(spark):
+    """Bipartite-ish graph: pure sources become hubs (authority 0),
+    pure sinks become authorities (hub 0); L1 normalization sums to 1
+    on each side; multi-edge contributes multiply."""
+    from gtfs2lc_spark import kg
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 2), (4, 3), (2, 5), (3, 5)], ["src", "dst"]
+    )
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in kg.hits(edges, iterations=2).collect()}
+    assert got[1] == (0.4, 0.0) and got[4] == (0.4, 0.0)   # hubs
+    assert got[2] == (0.1, 0.4) and got[3] == (0.1, 0.4)   # authorities
+    assert got[5] == (0.0, 0.2)
+    assert round(sum(h for h, _ in got.values()), 6) == 1.0
+    assert round(sum(a for _, a in got.values()), 6) == 1.0
+    # doubling one edge shifts mass toward its endpoints
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (2, 5)], ["src", "dst"]
+    )
+    got2 = {r["node"]: r["authority"] for r in kg.hits(dup, iterations=1).collect()}
+    assert got2[2] > got2[3]
