@@ -591,6 +591,15 @@ def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_events.gap_fill(ev, step_seconds=86400)
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream
+    (events.transition_matrix): consecutive same-user event-type
+    pairs under the (ts, event_id) total order, with row-normalized
+    probabilities."""
+    ev = _load(spark, sf_dir, "events")
+    return dp_events.transition_matrix(ev)
+
+
 def _q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score anomaly screen (events.zscore_outliers):
     moments from one unbounded group window, round-at-boundary 6 dp,
@@ -1665,6 +1674,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": _q_gap_fill,
         "zscore_outliers": _q_zscore_outliers,
         "rank_metrics": _q_rank_metrics,
+        "event_transitions": _q_event_transitions,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2789,6 +2799,22 @@ def oracle_sql() -> dict[str, str]:
                    r.ts AS last_error_ts, r.v AS last_error_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "event_transitions": """
+            WITH pairs AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS from_type,
+                     event_type AS to_type
+              FROM events
+            ), counts AS (
+              SELECT from_type, to_type, COUNT(*) AS n
+              FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   round(CAST(n AS DOUBLE) / SUM(n) OVER (
+                     PARTITION BY from_type), 6) AS p
+            FROM counts
         """,
         "zscore_outliers": """
             WITH z AS (

@@ -678,3 +678,47 @@ def zscore_outliers(
         .where(F.abs(F.col("z")) >= float(threshold))
         .drop("_std")
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix of an event stream: for
+    every ordered (from_type, to_type) pair of CONSECUTIVE events of
+    the same user, the transition count and the row-normalized
+    probability — the session-model fingerprint (journey analysis,
+    bot-vs-human separation, next-event prediction baselines).
+
+    Consecutiveness is per user under the (ts, id) total order (the
+    sessionize tie-break contract, so boundaries are deterministic).
+    One user-keyed window pass emits the lag pairs; the count matrix
+    is a map-side-combinable groupBy with at most |types|² rows, and
+    the row normalization is a window over that tiny matrix — no
+    second pass over the events. The probability is a ratio of two
+    exact integers (IEEE division is exactly rounded, engine-portable)
+    rounded to 6 dp.
+
+    Output: ``(from_type, to_type, n, p)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row), 6).alias("p"),
+    )

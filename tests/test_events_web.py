@@ -534,3 +534,33 @@ def test_zscore_outliers_flags_and_degenerates(spark):
     want_z = round((100.0 - round(statistics.fmean(vals), 6))
                    / round(statistics.stdev(vals), 6), 6)
     assert got[0]["z"] == want_z
+
+
+def test_transition_matrix_counts_and_rows_sum_to_one(spark):
+    import datetime as _dt
+
+    from gtfs2lc_spark.datapipe import events as ev
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a -> b ; user 2: b -> c
+        (1, t0, 1, "a"), (2, t0.replace(minute=1), 1, "b"),
+        (3, t0.replace(minute=2), 1, "a"), (4, t0.replace(minute=3), 1, "b"),
+        (5, t0, 2, "b"), (6, t0.replace(minute=5), 2, "c"),
+        # same-ts tie broken by event_id: 7 before 8
+        (7, t0, 3, "c"), (8, t0, 3, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in ev.transition_matrix(df).collect()}
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 0.5)
+    assert got[("b", "c")] == (1, 0.5)
+    assert got[("c", "a")] == (1, 1.0)
+    # rows normalize: sum of p per from_type == 1
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f, _), (_, p) in got.items():
+        sums[f] += p
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
