@@ -591,6 +591,14 @@ def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_events.gap_fill(ev, step_seconds=86400)
 
 
+def _q_winsorized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of doc lengths at exact disc
+    p05/p95 (text.winsorize): counting-sort quantiles, broadcast
+    bounds, codegen clip."""
+    d = _load(spark, sf_dir, "documents")
+    return text.winsorize(d, lower_p=5, upper_p=95)
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of the event stream
     (events.transition_matrix): consecutive same-user event-type
@@ -1675,6 +1683,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": _q_zscore_outliers,
         "rank_metrics": _q_rank_metrics,
         "event_transitions": _q_event_transitions,
+        "winsorized_lengths": _q_winsorized_lengths,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2799,6 +2808,33 @@ def oracle_sql() -> dict[str, str]:
                    r.ts AS last_error_ts, r.v AS last_error_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "winsorized_lengths": """
+            WITH hist AS (
+              SELECT lang AS g, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+              FROM documents GROUP BY 1, 2
+            ), cum AS (
+              SELECT g, v,
+                     SUM(c) OVER (PARTITION BY g ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cm,
+                     SUM(c) OVER (PARTITION BY g) AS n
+              FROM hist
+            ), qs AS (
+              SELECT g, p, MIN(v) AS q
+              FROM cum CROSS JOIN (SELECT unnest([5, 95]) AS p)
+              WHERE cm >= CAST(ceil(p * n / 100.0) AS BIGINT)
+              GROUP BY 1, 2
+            ), bounds AS (
+              SELECT g, MIN(CASE WHEN p = 5 THEN q END) AS lo,
+                        MIN(CASE WHEN p = 95 THEN q END) AS hi
+              FROM qs GROUP BY 1
+            )
+            SELECT doc_id, lang AS "group",
+                   CAST(n_chars AS BIGINT) AS value,
+                   least(greatest(CAST(n_chars AS BIGINT), lo), hi) AS clipped,
+                   least(greatest(CAST(n_chars AS BIGINT), lo), hi)
+                     <> CAST(n_chars AS BIGINT) AS was_clipped
+            FROM documents JOIN bounds ON bounds.g = documents.lang
         """,
         "event_transitions": """
             WITH pairs AS (

@@ -1557,3 +1557,81 @@ def entity_mentions(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    lower_p: int = 5,
+    upper_p: int = 95,
+) -> DataFrame:
+    """Per-group winsorization at EXACT discrete quantiles: clip an
+    integer-valued metric into its group's [p_lower, p_upper] range —
+    the robust-stats tail clamp applied before any mean/stddev-based
+    feature (a handful of 100 MB pathological documents otherwise own
+    the corpus statistics).
+
+    The thresholds reuse :func:`token_quantiles`' counting-sort shape:
+    the metric has bounded cardinality, so exact quantiles come from a
+    map-side-combinable (group, value) histogram + one cumulative
+    window over histogram-sized data — never a per-group sort of the
+    corpus. The smallest value whose cumulative count reaches
+    ``ceil(p/100 * n)`` is the classic lower/disc quantile, integer-
+    exact in any engine. The per-group (lo, hi) table is
+    dimension-sized and broadcasts; the clip itself is pure codegen.
+
+    Output: ``(id, group, value, clipped, was_clipped)``.
+    """
+    if not 1 <= lower_p < upper_p <= 100:
+        raise ValueError(
+            f"need 1 <= lower_p < upper_p <= 100, got ({lower_p}, {upper_p})"
+        )
+    g = F.col(group_col)
+    v = F.col(value_col).cast("long")
+    hist = (
+        df.select(g.alias("_g"), v.alias("_v"))
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("_g")
+    cum = hist.select(
+        "_g",
+        "_v",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wtot).alias("_n"),
+    )
+    both = cum.select(
+        "_g", "_v", "_cum", "_n",
+        F.explode(F.array(F.lit(int(lower_p)), F.lit(int(upper_p)))).alias("_p"),
+    )
+    need = F.ceil(F.col("_p") * F.col("_n") / 100.0).cast("long")
+    qs = (
+        both.where(F.col("_cum") >= need)
+        .groupBy("_g", "_p")
+        .agg(F.min("_v").alias("_q"))
+    )
+    bounds = F.broadcast(
+        qs.groupBy("_g").agg(
+            F.min(F.when(F.col("_p") == int(lower_p), F.col("_q"))).alias("_lo"),
+            F.min(F.when(F.col("_p") == int(upper_p), F.col("_q"))).alias("_hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+    return (
+        df.select(F.col(id_col), g.alias("group"), v.alias("value"))
+        .join(bounds, F.col("group") == F.col("_g"))
+        .select(
+            id_col,
+            "group",
+            "value",
+            clipped.alias("clipped"),
+            (clipped != F.col("value")).alias("was_clipped"),
+        )
+    )

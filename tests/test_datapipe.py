@@ -1100,3 +1100,24 @@ def test_cluster_size_histogram_counts(docs):
     assert got[3] == 1
     assert got[1] == 5
     assert sum(s * n for s, n in got.items()) == 8  # every doc counted once
+
+
+def test_winsorize_exact_disc_quantiles_and_clip(spark):
+    from gtfs2lc_spark.datapipe import text as t
+
+    # group 'a': values 1..10 -> p20 disc = 2, p80 disc = 8
+    rows = [(i, "a", i) for i in range(1, 11)] + [(100, "b", 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    got = {r["doc_id"]: r for r in t.winsorize(
+        df, lower_p=20, upper_p=80).collect()}
+    assert got[1]["clipped"] == 2 and got[1]["was_clipped"]
+    assert got[2]["clipped"] == 2 and not got[2]["was_clipped"]
+    assert got[8]["clipped"] == 8 and not got[8]["was_clipped"]
+    assert got[9]["clipped"] == 8 and got[9]["was_clipped"]
+    assert got[5]["clipped"] == 5 and not got[5]["was_clipped"]
+    # singleton group clips to itself
+    assert got[100]["clipped"] == 7 and not got[100]["was_clipped"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.winsorize(df, lower_p=80, upper_p=20)
