@@ -599,6 +599,14 @@ def _q_winsorized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winsorize(d, lower_p=5, upper_p=95)
 
 
+def _q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over (user, event_type)
+    baskets (events.association_rules): support/confidence/lift from
+    exact-integer ratios, basket-keyed self-join for co-presence."""
+    ev = _load(spark, sf_dir, "events")
+    return dp_events.association_rules(ev)
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of the event stream
     (events.transition_matrix): consecutive same-user event-type
@@ -648,6 +656,38 @@ def _q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.fuzzy_link(
         mentions, part, raw_col="raw", id_col="p_partkey", name_col="p_name",
         max_dist=1, block_prefix=2,
+    )
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical OLAP scan+agg: per
+    (returnflag, linestatus) decimal-exact sums and count over a
+    shipdate-filtered lineitem scan (predicate pushed to parquet);
+    averages as double division of the exact sums, rounded 6 dp."""
+    li = _load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") < F.to_timestamp(F.lit("2000-09-02 00:00:00"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,4)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).alias("_sq"),
+        F.sum(dec("l_extendedprice")).alias("_sp"),
+        F.sum(disc_price).alias("_sd"),
+        F.sum(charge).alias("_sc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.col("_sd").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        F.round(F.col("_sq").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("_sp").cast("double") / F.col("count_order"), 6).alias("avg_price"),
+        "count_order",
     )
 
 
@@ -1660,6 +1700,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_lag_pairs": _q_w1_lag_pairs,
         "j6_date_explode": _q_j6_date_explode,
         "broadcast_enrich": _q_broadcast_enrich,
+        "pricing_summary": _q_pricing_summary,
         "a1_grouped_sets": _q_a1_grouped_sets,
         "w4_dense_index": _q_w4_dense_index,
         "o2_multikey_sort": _q_o2_multikey_sort,
@@ -1684,6 +1725,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_metrics": _q_rank_metrics,
         "event_transitions": _q_event_transitions,
         "winsorized_lengths": _q_winsorized_lengths,
+        "assoc_rules": _q_assoc_rules,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2808,6 +2850,48 @@ def oracle_sql() -> dict[str, str]:
                    r.ts AS last_error_ts, r.v AS last_error_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                     AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE)
+                     AS sum_charge,
+                   round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_qty,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '2000-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "assoc_rules": """
+            WITH bi AS (
+              SELECT DISTINCT user_id AS b, event_type AS i FROM events
+            ), nb AS (
+              SELECT COUNT(DISTINCT b) AS nb FROM bi
+            ), item_n AS (
+              SELECT i, COUNT(*) AS ni FROM bi GROUP BY 1
+            ), pairs AS (
+              SELECT l.i AS antecedent, r.i AS consequent, COUNT(*) AS n_pair
+              FROM bi l JOIN bi r ON l.b = r.b AND l.i <> r.i
+              GROUP BY 1, 2
+            )
+            SELECT antecedent, consequent, n_pair,
+                   round(CAST(n_pair AS DOUBLE) / nb.nb, 6) AS support,
+                   round(CAST(n_pair AS DOUBLE) / a.ni, 6) AS confidence,
+                   round((CAST(n_pair AS DOUBLE) / a.ni)
+                         / (CAST(c.ni AS DOUBLE) / nb.nb), 6) AS lift
+            FROM pairs
+            JOIN item_n a ON a.i = pairs.antecedent
+            JOIN item_n c ON c.i = pairs.consequent
+            CROSS JOIN nb
         """,
         "winsorized_lengths": """
             WITH hist AS (

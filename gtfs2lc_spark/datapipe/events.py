@@ -722,3 +722,68 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(row), 6).alias("p"),
     )
+
+
+def association_rules(
+    events: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: float = 0.0,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) data: for
+    every ordered pair of DISTINCT items co-present in a basket,
+    support / confidence / lift — the classic co-occurrence mining
+    family (content recommendation, "users who hit X also hit Y"),
+    distinct from PMI collocations (which score ADJACENT token pairs,
+    not basket co-presence).
+
+    Shape: dedup to distinct (basket, item) — one map-side-combinable
+    exchange — then a basket-keyed self-equi-join producing only
+    within-basket pairs (per-basket fan-out is |distinct items|², and
+    the item vocabulary is bounded, so no quadratic blowup in corpus
+    size; a hostile basket with ALL items contributes |items|² rows
+    once, not per event). Rule metrics are exact-integer ratios
+    (IEEE-exact division) rounded 6 dp:
+
+        support(X→Y)    = n(X,Y) / n_baskets
+        confidence(X→Y) = n(X,Y) / n(X)
+        lift(X→Y)       = confidence / (n(Y) / n_baskets)
+
+    ``min_support`` prunes on the rounded support. Output:
+    ``(antecedent, consequent, n_pair, support, confidence, lift)``.
+    """
+    bi = (
+        events.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    n_baskets = F.broadcast(bi.select("_b").distinct().agg(F.count(F.lit(1)).alias("_nb")))
+    item_n = bi.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
+    pairs = (
+        bi.alias("l")
+        .join(bi.alias("r"), "_b")
+        .where(F.col("l._i") != F.col("r._i"))
+        .groupBy(
+            F.col("l._i").alias("antecedent"), F.col("r._i").alias("consequent")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ante = F.broadcast(item_n.select(F.col("_i").alias("antecedent"), F.col("_ni").alias("_na")))
+    cons = F.broadcast(item_n.select(F.col("_i").alias("consequent"), F.col("_ni").alias("_nc")))
+    out = (
+        pairs.join(ante, "antecedent")
+        .join(cons, "consequent")
+        .crossJoin(n_baskets)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("_nb"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("_na"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_pair") / F.col("_na")) / (F.col("_nc") / F.col("_nb")), 6
+            ).alias("lift"),
+        )
+    )
+    if min_support > 0:
+        out = out.where(F.col("support") >= float(min_support))
+    return out

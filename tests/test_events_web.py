@@ -564,3 +564,27 @@ def test_transition_matrix_counts_and_rows_sum_to_one(spark):
     for (f, _), (_, p) in got.items():
         sums[f] += p
     assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+def test_association_rules_metrics(spark):
+    from gtfs2lc_spark.datapipe import events as ev
+
+    # baskets: u1={a,b}, u2={a,b}, u3={a,c}, u4={b}
+    rows = [(1, "a"), (1, "b"), (1, "b"),  # dup event collapses
+            (2, "a"), (2, "b"), (3, "a"), (3, "c"), (4, "b")]
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    got = {(r["antecedent"], r["consequent"]): r
+           for r in ev.association_rules(df).collect()}
+    ab = got[("a", "b")]
+    # n(a,b)=2, n_baskets=4, n(a)=3, n(b)=3
+    assert ab["n_pair"] == 2
+    assert ab["support"] == 0.5
+    assert ab["confidence"] == round(2 / 3, 6)
+    assert ab["lift"] == round((2 / 3) / (3 / 4), 6)
+    # symmetric pair counts, asymmetric confidence
+    ba = got[("b", "a")]
+    assert ba["n_pair"] == 2 and ba["confidence"] == round(2 / 3, 6)
+    assert ("b", "c") not in got
+    # min_support prunes
+    pruned = ev.association_rules(df, min_support=0.4).collect()
+    assert all(r["support"] >= 0.4 for r in pruned)
