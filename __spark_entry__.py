@@ -1721,11 +1721,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "bloom_semi_join": _q_bloom_semi_join,
         "gap_fill": _q_gap_fill,
-        "zscore_outliers": _q_zscore_outliers,
-        "rank_metrics": _q_rank_metrics,
-        "event_transitions": _q_event_transitions,
-        "winsorized_lengths": _q_winsorized_lengths,
-        "assoc_rules": _q_assoc_rules,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1744,6 +1739,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": _q_ngram_contamination,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_features": _q_multimodal_features,
+        "zscore_outliers": _q_zscore_outliers,
+        "rank_metrics": _q_rank_metrics,
+        "event_transitions": _q_event_transitions,
+        "winsorized_lengths": _q_winsorized_lengths,
+        "assoc_rules": _q_assoc_rules,
         "kg_closure": _q_kg_closure,
         "kg_rdfs_infer": _q_kg_rdfs_infer,
         "kg_bgp_match": _q_kg_bgp_match,
