@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from gtfs2lc_spark import extraction, fixtures, kg, oracle, pipeline, postprocess, sinks
 from gtfs2lc_spark.datapipe import dedup, multimodal, packing, similarity, sketch, text, web
 from gtfs2lc_spark.datapipe import events as dp_events
+from gtfs2lc_spark.datapipe import stats as dp_stats
 
 
 def _pin_utc(spark: SparkSession) -> None:
@@ -605,6 +606,32 @@ def _q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer ratios, basket-keyed self-join for co-presence."""
     ev = _load(spark, sf_dir, "events")
     return dp_events.association_rules(ev)
+
+
+def _q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of (lang, source) over the
+    corpus (stats.chi_square): exact-integer contingency counts, cell
+    terms folded in one canonical sorted order."""
+    d = _load(spark, sf_dir, "documents")
+    return dp_stats.chi_square(d, "lang", "source")
+
+
+def _q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time
+    (stats.group_regression): sufficient statistics summed in exact
+    integer arithmetic (decimal(38,0) / HUGEINT) so the
+    cancellation-amplified slope is engine-exact; x = epoch seconds
+    centered at 2024-01-01."""
+    ev = _load(spark, sf_dir, "events")
+    x = (
+        F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+        / F.lit(1_000_000.0)
+        - F.lit(1704067200.0)
+    )
+    return dp_stats.group_regression(
+        ev.select("event_type", x.alias("x"), "value"),
+        "event_type", "x", "value", x_scale=0, y_scale=6,
+    )
 
 
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1744,6 +1771,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "winsorized_lengths": _q_winsorized_lengths,
         "assoc_rules": _q_assoc_rules,
+        "chi_square": _q_chi_square,
+        "value_trend": _q_value_trend,
         "kg_closure": _q_kg_closure,
         "kg_rdfs_infer": _q_kg_rdfs_infer,
         "kg_bgp_match": _q_kg_bgp_match,
@@ -2870,6 +2899,61 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY 1, 2
+        """,
+        "chi_square": """
+            WITH cells AS (
+              SELECT lang AS r, source AS c, COUNT(*) AS o
+              FROM documents GROUP BY 1, 2
+            ), t AS (
+              SELECT r, c, o,
+                     SUM(o) OVER (PARTITION BY r) AS rt,
+                     SUM(o) OVER (PARTITION BY c) AS ct,
+                     SUM(o) OVER () AS n
+              FROM cells
+            ), terms AS (
+              SELECT r, c, n,
+                     (o - rt * ct / CAST(n AS DOUBLE))
+                     * (o - rt * ct / CAST(n AS DOUBLE))
+                     / (rt * ct / CAST(n AS DOUBLE)) AS term
+              FROM t
+            )
+            SELECT round(list_reduce(list(term ORDER BY r, c),
+                                     (acc, x) -> acc + x), 6) AS chi2,
+                   (COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS dof,
+                   MAX(n) AS n,
+                   COUNT(DISTINCT r) AS n_rows,
+                   COUNT(DISTINCT c) AS n_cols
+            FROM terms
+        """,
+        "value_trend": """
+            WITH q AS (
+              SELECT event_type AS "group",
+                     CAST(round(epoch_us(ts) / 1000000.0 - 1704067200.0)
+                          AS HUGEINT) AS x,
+                     CAST(round(value * 1000000.0) AS HUGEINT) AS y
+              FROM events
+            ), s AS (
+              SELECT "group", COUNT(*) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM q GROUP BY 1
+            )
+            SELECT "group", n,
+                   round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         * 1e-06, 6) AS slope,
+                   round((CAST(sy AS DOUBLE)
+                          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept
+            FROM s
+            WHERE n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
         """,
         "assoc_rules": """
             WITH bi AS (

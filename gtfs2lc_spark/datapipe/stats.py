@@ -1,0 +1,156 @@
+"""Statistical tests and fits as DataFrame algebra.
+
+Two determinism disciplines are used so results are engine-exact (the
+correctness gate value-hashes them against DuckDB):
+
+- ``chi_square``: all inputs are COUNTS (exact integers); every
+  derived quantity is a fixed expression tree over those integers, so
+  IEEE double arithmetic is bit-identical in any engine; one final
+  6-dp round.
+- ``group_regression``: the sufficient statistics (Σx, Σy, Σxy, Σx²)
+  are accumulated over QUANTIZED INTEGER values in exact arithmetic
+  (decimal(38,0) here, HUGEINT in the DuckDB oracle) — exact sums are
+  engine-identical regardless of reduction order (a double sum would
+  drift by ulps across partitionings, and the slope formula's
+  catastrophic cancellation amplifies exactly that drift). The closed
+  form is then evaluated in double from the exact sums — identical
+  expression tree over identical inputs is bit-identical.
+
+gtfs2lc parity note: the reference computes no statistics (SURVEY.md
+§2); these belong to the corpus-analytics layer of the graft.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["chi_square", "group_regression"]
+
+
+def chi_square(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the "is my corpus mix confounded" check (is language
+    independent of source? is event type independent of A/B arm?).
+
+    One map-side-combinable count over (row, col) builds the
+    contingency table; marginals come from two windows over that TINY
+    table (|rows| x |cols| cells), never a second pass over the data.
+    chi2 = Σ (observed - expected)² / expected with
+    expected = row_total * col_total / n.
+
+    Output: ONE row ``(chi2, dof, n, n_rows, n_cols)`` — chi2 rounded
+    6 dp, dof = (|rows|-1)(|cols|-1). P-values need the chi-square CDF
+    (no closed form; engines disagree in the last ulps), so the
+    statistic + dof are the contract — compare against the caller's
+    critical value.
+    """
+    cells = (
+        df.select(F.col(row_col).alias("_r"), F.col(col_col).alias("_c"))
+        .groupBy("_r", "_c")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("_r")
+    wc = Window.partitionBy("_c")
+    wall = Window.partitionBy()
+    t = cells.select(
+        "_r",
+        "_c",
+        "_o",
+        F.sum("_o").over(wr).alias("_rt"),
+        F.sum("_o").over(wc).alias("_ct"),
+        F.sum("_o").over(wall).alias("_n"),
+    )
+    exp = F.col("_rt") * F.col("_ct") / F.col("_n")
+    term = (F.col("_o") - exp) * (F.col("_o") - exp) / exp
+    # the final reduction over cell terms is a DOUBLE sum — the cell
+    # table is tiny, but reduction order must still be pinned: sort
+    # terms into one canonical order via a deterministic single-row
+    # aggregate over the sorted array
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("_r"), F.col("_c"), term.alias("_t")))
+    )
+    folded = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x["_t"]
+    )
+    return t.groupBy().agg(
+        F.round(folded, 6).alias("chi2"),
+        (
+            (F.count_distinct("_r") - 1) * (F.count_distinct("_c") - 1)
+        ).cast("long").alias("dof"),
+        F.max("_n").alias("n"),
+        F.count_distinct("_r").cast("long").alias("n_rows"),
+        F.count_distinct("_c").cast("long").alias("n_cols"),
+    )
+
+
+def group_regression(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 6,
+    y_scale: int = 6,
+) -> DataFrame:
+    """Per-group simple OLS fit ``y = slope * x + intercept`` via
+    DECIMAL-EXACT sufficient statistics — trend extraction per segment
+    (metric drift per event type, length inflation per source) as one
+    map-side-combinable aggregation.
+
+    Why exact sums: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    subtracts near-equal large products, so the ulp-level drift of
+    ORDER-DEPENDENT double sums is amplified catastrophically and
+    would break cross-engine exactness. x and y are quantized to
+    ``x_scale``/``y_scale`` decimal digits as integers
+    (``round(v·10^s)`` — both engines evaluate the identical double
+    expression on identical bits), then summed in exact integer
+    arithmetic: decimal(38,0) here, HUGEINT in a DuckDB oracle —
+    identical under ANY partitioning/reduction order. The closed form
+    is evaluated in double from the exact sums (slope/intercept come
+    out in the ORIGINAL units — the quantization scales cancel via
+    ``10^y_scale / 10^x_scale``), rounded 6 dp. Cancellation still
+    bounds ACCURACY — center x near zero for well-conditioned fits
+    (e.g. epoch seconds minus the corpus start).
+
+    Degenerate groups (n < 2 or zero x-variance) are dropped.
+    Output: ``(group, n, slope, intercept)``.
+    """
+    big = "decimal(38,0)"
+    xq = F.round(F.col(x_col).cast("double") * F.lit(float(10 ** x_scale))).cast(big)
+    yq = F.round(F.col(y_col).cast("double") * F.lit(float(10 ** y_scale))).cast(big)
+    s = (
+        df.select(F.col(group_col).alias("group"), xq.alias("_x"), yq.alias("_y"))
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    den = n * sxx - sx * sx
+    slope_q = (n * sxy - sx * sy) / den  # in (y-quantum / x-quantum) units
+    unscale = F.lit(float(10 ** x_scale) / float(10 ** y_scale))
+    slope = slope_q * unscale
+    intercept = (sy - slope_q * sx) / n / F.lit(float(10 ** y_scale))
+    return (
+        s.where((F.col("n") >= 2) & (den != 0))
+        .select(
+            "group",
+            "n",
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+        )
+    )

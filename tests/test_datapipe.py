@@ -1121,3 +1121,34 @@ def test_winsorize_exact_disc_quantiles_and_clip(spark):
 
     with _pytest.raises(ValueError):
         t.winsorize(df, lower_p=80, upper_p=20)
+
+
+def test_chi_square_known_2x2(spark):
+    from gtfs2lc_spark.datapipe import stats as st
+
+    # 2x2: rows a/b, cols x/y with counts a-x 30, a-y 10, b-x 10, b-y 30
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 30)
+    df = spark.createDataFrame(rows, ["r", "c"])
+    got = st.chi_square(df, "r", "c").collect()[0]
+    # chi2 = sum (o-e)^2/e with e=20 everywhere -> 4 * 100/20 = 20
+    assert got["chi2"] == 20.0
+    assert got["dof"] == 1 and got["n"] == 80
+    assert got["n_rows"] == 2 and got["n_cols"] == 2
+
+
+def test_group_regression_recovers_exact_line(spark):
+    from gtfs2lc_spark.datapipe import stats as st
+
+    rows = (
+        # group 'g': y = 2.5x + 1 exactly
+        [("g", float(x), 2.5 * x + 1.0) for x in range(10)]
+        # 'one': single point -> dropped; 'flat': zero x-variance -> dropped
+        + [("one", 3.0, 4.0), ("flat", 7.0, 1.0), ("flat", 7.0, 2.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r["group"]: r for r in st.group_regression(df, "g", "x", "y").collect()}
+    assert set(got) == {"g"}
+    assert got["g"]["slope"] == 2.5
+    assert got["g"]["intercept"] == 1.0
+    assert got["g"]["n"] == 10
