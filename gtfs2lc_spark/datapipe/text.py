@@ -1591,7 +1591,11 @@ def winsorize(
     g = F.col(group_col)
     v = F.col(value_col).cast("long")
     hist = (
-        df.select(g.alias("_g"), v.alias("_v"))
+        # NULL metric values are excluded from the quantile population
+        # (they would sort first and poison the cumulative order); the
+        # output likewise carries only non-NULL rows (inner bounds join)
+        df.where(v.isNotNull())
+        .select(g.alias("_g"), v.alias("_v"))
         .groupBy("_g", "_v")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
