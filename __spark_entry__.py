@@ -2903,19 +2903,25 @@ def oracle_sql() -> dict[str, str]:
         "chi_square": """
             WITH cells AS (
               SELECT lang AS r, source AS c, COUNT(*) AS o
-              FROM documents GROUP BY 1, 2
-            ), t AS (
-              SELECT r, c, o,
-                     SUM(o) OVER (PARTITION BY r) AS rt,
-                     SUM(o) OVER (PARTITION BY c) AS ct,
-                     SUM(o) OVER () AS n
-              FROM cells
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+            ), rt AS (
+              SELECT r, SUM(o) AS rt FROM cells GROUP BY 1
+            ), ct AS (
+              SELECT c, SUM(o) AS ct FROM cells GROUP BY 1
+            ), nn AS (
+              SELECT SUM(o) AS n FROM cells
+            ), grid AS (
+              SELECT rt.r, ct.c, rt.rt, ct.ct, nn.n,
+                     coalesce(cells.o, 0) AS o
+              FROM rt CROSS JOIN ct CROSS JOIN nn
+              LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
             ), terms AS (
               SELECT r, c, n,
-                     (o - rt * ct / CAST(n AS DOUBLE))
-                     * (o - rt * ct / CAST(n AS DOUBLE))
-                     / (rt * ct / CAST(n AS DOUBLE)) AS term
-              FROM t
+                     (o - CAST(rt AS DOUBLE) * ct / n)
+                     * (o - CAST(rt AS DOUBLE) * ct / n)
+                     / (CAST(rt AS DOUBLE) * ct / n) AS term
+              FROM grid
             )
             SELECT round(list_reduce(list(term ORDER BY r, c),
                                      (acc, x) -> acc + x), 6) AS chi2,

@@ -753,7 +753,11 @@ def association_rules(
     ``(antecedent, consequent, n_pair, support, confidence, lift)``.
     """
     bi = (
-        events.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        # NULL baskets/items are excluded: a NULL basket can never
+        # produce a pair (the equi-join drops it) but WOULD otherwise
+        # inflate n_baskets, skewing support/lift
+        events.where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
         .distinct()
     )
     n_baskets = F.broadcast(bi.select("_b").distinct().agg(F.count(F.lit(1)).alias("_nb")))

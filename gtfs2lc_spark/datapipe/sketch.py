@@ -136,7 +136,21 @@ def bloom_semi_join(
     key-hash exchange, so the confirm join (which removes the bitmap's
     false positives) shuffles only survivors.
 
-    Columns of ``df`` pass through unchanged."""
+    Columns of ``df`` pass through unchanged.
+
+    Raises ``ValueError`` when the two key columns have different
+    data types: the bitmap hashes the string rendering of the key, so
+    a DOUBLE 5.0 probing a bitmap built from BIGINT 5 would miss
+    ('5.0' vs '5') and silently DROP a row the plain semi-join's
+    numeric coercion would keep — align the types explicitly first."""
+    df_t = dict(df.dtypes)[df_key]
+    keys_t = dict(keys.dtypes)[keys_key]
+    if df_t != keys_t:
+        raise ValueError(
+            f"bloom_semi_join key types differ: {df_key}:{df_t} vs "
+            f"{keys_key}:{keys_t}; cast one side first (string-hash "
+            "membership would silently drop coercible matches)"
+        )
     bitmap = bitmap_build(keys.select(keys_key), keys_key, m_bits=m_bits, k=k)
     survivors = bloom_probe(df, df_key, bitmap, m_bits=m_bits, k=k)
     rhs = keys.select(F.col(keys_key).alias(df_key)).where(

@@ -37,11 +37,17 @@ def chi_square(
     columns — the "is my corpus mix confounded" check (is language
     independent of source? is event type independent of A/B arm?).
 
-    One map-side-combinable count over (row, col) builds the
-    contingency table; marginals come from two windows over that TINY
-    table (|rows| x |cols| cells), never a second pass over the data.
-    chi2 = Σ (observed - expected)² / expected with
-    expected = row_total * col_total / n.
+    One map-side-combinable count over (row, col) builds the observed
+    contingency table; the FULL |rows| x |cols| grid is then densified
+    from the marginal tables (cross join of two tiny dimension frames)
+    so ZERO-observed cells contribute their (0 - e)²/e term — omitting
+    them understates the statistic for sparse tables (a perfectly
+    dependent diagonal table would otherwise report half its true
+    chi2). chi2 = Σ (observed - expected)² / expected with
+    expected = row_total * col_total / n; the row_total*col_total
+    product is taken in DOUBLE (long·long would overflow at 10¹²-row
+    corpora; the expression tree is identical in the oracle, so
+    determinism is unaffected). NULL categories are excluded.
 
     Output: ONE row ``(chi2, dof, n, n_rows, n_cols)`` — chi2 rounded
     6 dp, dof = (|rows|-1)(|cols|-1). P-values need the chi-square CDF
@@ -50,28 +56,25 @@ def chi_square(
     critical value.
     """
     cells = (
-        df.select(F.col(row_col).alias("_r"), F.col(col_col).alias("_c"))
+        df.where(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .select(F.col(row_col).alias("_r"), F.col(col_col).alias("_c"))
         .groupBy("_r", "_c")
         .agg(F.count(F.lit(1)).alias("_o"))
     )
-    from pyspark.sql import Window
-
-    wr = Window.partitionBy("_r")
-    wc = Window.partitionBy("_c")
-    wall = Window.partitionBy()
-    t = cells.select(
-        "_r",
-        "_c",
-        "_o",
-        F.sum("_o").over(wr).alias("_rt"),
-        F.sum("_o").over(wc).alias("_ct"),
-        F.sum("_o").over(wall).alias("_n"),
+    rt = cells.groupBy("_r").agg(F.sum("_o").alias("_rt"))
+    ct = cells.groupBy("_c").agg(F.sum("_o").alias("_ct"))
+    nn = cells.agg(F.sum("_o").alias("_n"))
+    grid = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(nn))
+        .join(cells, ["_r", "_c"], "left")
+        .withColumn("_o", F.coalesce("_o", F.lit(0)))
     )
-    exp = F.col("_rt") * F.col("_ct") / F.col("_n")
+    exp = F.col("_rt").cast("double") * F.col("_ct") / F.col("_n")
     term = (F.col("_o") - exp) * (F.col("_o") - exp) / exp
-    # the final reduction over cell terms is a DOUBLE sum — the cell
-    # table is tiny, but reduction order must still be pinned: sort
-    # terms into one canonical order via a deterministic single-row
+    # the final reduction over cell terms is a DOUBLE sum — the grid
+    # is tiny, but reduction order must still be pinned: sort terms
+    # into one canonical order via a deterministic single-row
     # aggregate over the sorted array
     arr = F.array_sort(
         F.collect_list(F.struct(F.col("_r"), F.col("_c"), term.alias("_t")))
@@ -79,7 +82,7 @@ def chi_square(
     folded = F.aggregate(
         arr, F.lit(0.0), lambda acc, x: acc + x["_t"]
     )
-    return t.groupBy().agg(
+    return grid.groupBy().agg(
         F.round(folded, 6).alias("chi2"),
         (
             (F.count_distinct("_r") - 1) * (F.count_distinct("_c") - 1)

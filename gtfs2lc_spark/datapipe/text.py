@@ -1593,7 +1593,7 @@ def winsorize(
     hist = (
         # NULL metric values are excluded from the quantile population
         # (they would sort first and poison the cumulative order); the
-        # output likewise carries only non-NULL rows (inner bounds join)
+        # output side applies the same filter below
         df.where(v.isNotNull())
         .select(g.alias("_g"), v.alias("_v"))
         .groupBy("_g", "_v")
@@ -1629,7 +1629,11 @@ def winsorize(
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
     return (
-        df.select(F.col(id_col), g.alias("group"), v.alias("value"))
+        # NULL metrics are excluded from the OUTPUT too (greatest()
+        # ignores NULLs, so a NULL value would otherwise masquerade as
+        # "clipped to the lower bound")
+        df.where(v.isNotNull())
+        .select(F.col(id_col), g.alias("group"), v.alias("value"))
         .join(bounds, F.col("group") == F.col("_g"))
         .select(
             id_col,

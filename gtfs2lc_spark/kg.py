@@ -588,15 +588,11 @@ def hits(
             "hub",
             f"hits_h{i}",
         )
-    return (
-        nodes.join(hub, "node", "left")
-        .join(auth, "node", "left")
-        .select(
-            "node",
-            F.coalesce("hub", F.lit(0.0)).alias("hub"),
-            F.coalesce("authority", F.lit(0.0)).alias("authority"),
-        )
-    )
+    # hub and auth are each built as nodes-left-join-coalesce inside
+    # the loop (and as full-cover literals at iterations=0), so both
+    # already hold exactly one non-NULL row per node — one equi-join
+    # zips them, no re-join against nodes needed
+    return hub.join(auth, "node").select("node", "hub", "authority")
 
 
 def bgp_match(

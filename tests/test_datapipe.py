@@ -1152,3 +1152,16 @@ def test_group_regression_recovers_exact_line(spark):
     assert got["g"]["slope"] == 2.5
     assert got["g"]["intercept"] == 1.0
     assert got["g"]["n"] == 10
+
+
+def test_chi_square_sparse_diagonal_counts_zero_cells(spark):
+    """Perfectly dependent 2x2 diagonal table: chi2 must equal n (=20),
+    which requires the ZERO-observed off-diagonal cells' (0-e)^2/e
+    terms — an observed-cells-only sum reports half."""
+    from gtfs2lc_spark.datapipe import stats as st
+
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, ["r", "c"])
+    got = st.chi_square(df, "r", "c").collect()[0]
+    assert got["chi2"] == 20.0
+    assert got["dof"] == 1 and got["n"] == 20

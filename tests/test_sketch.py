@@ -88,3 +88,10 @@ def test_bloom_param_validation(spark):
         sketch.bitmap_build(keys, "k", m_bits=100)
     with pytest.raises(ValueError):
         sketch.bitmap_build(keys, "k", k=0)
+
+
+def test_bloom_semi_join_rejects_mismatched_key_types(spark):
+    big = spark.range(0, 10).select(F.col("id").cast("double").alias("key"))
+    keys = spark.range(0, 5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="key types differ"):
+        sketch.bloom_semi_join(big, "key", keys, "k")
