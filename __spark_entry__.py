@@ -244,6 +244,20 @@ def _q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.hits(_host_edges(spark, sf_dir), iterations=2)
 
 
+def _q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over
+    the densified host graph (kg.label_propagation): 3 rounds,
+    (max neighbor-label count, min label) update — nondeterminism of
+    classic LPA pinned away."""
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    extra1 = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 5 + 11) % 97).alias("dst"),
+    )
+    edges = _host_edges(spark, sf_dir).unionByName(extra1)
+    return kg.label_propagation(edges, iterations=3)
+
+
 def _q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-ordered triangle enumeration over the host graph —
     clustering-coefficient primitive, each triangle exactly once.
@@ -1789,6 +1803,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_state_at": _q_kg_state_at,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
+        "host_communities": _q_host_communities,
         "host_triangles": _q_host_triangles,
         "url_filter": _q_url_filter,
         "url_canonicalize": _q_url_canonicalize,
@@ -2447,6 +2462,51 @@ def _sql_host_hits(iterations: int = 2) -> str:
     )
 
 
+def _sql_host_lpa(iterations: int = 3) -> str:
+    """Mirror of kg.label_propagation over the densified host graph:
+    per-round CTE pair — neighbor-label counts, then per-node argmax
+    under (count DESC, label ASC)."""
+    parts = [
+        """raw AS (
+  SELECT doc_id % 97 AS a, (doc_id * 31 + 7) % 97 AS b FROM documents
+  UNION ALL
+  SELECT (doc_id * 13 + 5) % 97 AS a, doc_id % 97 AS b FROM documents
+  UNION ALL
+  SELECT doc_id % 97 AS a, (doc_id * 5 + 11) % 97 AS b FROM documents
+)""",
+        """sym AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM raw UNION ALL SELECT b AS a, a AS b FROM raw)
+  WHERE a <> b
+)""",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""n{k} AS (
+  SELECT sym.a AS node, l.label, COUNT(*) AS cnt
+  FROM sym JOIN l{k - 1} l ON l.node = sym.b GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""b{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM n{k})
+  WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""l{k} AS (
+  SELECT nodes.node, coalesce(b{k}.label, nodes.node) AS label
+  FROM nodes LEFT JOIN b{k} ON b{k}.node = nodes.node
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT node, label FROM l{iterations}"
+
+
 def _sql_host_triangles() -> str:
     """Mirror of kg.triangles over the synthesized host graph —
     id-ordered enumeration (equivalent to the Spark side's
@@ -2772,6 +2832,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sameas_closure": _sql_kg_sameas_closure(),
         "host_pagerank": _sql_host_pagerank(),
         "host_hits": _sql_host_hits(),
+        "host_communities": _sql_host_lpa(),
         "host_triangles": _sql_host_triangles(),
         "kg_bgp_match": oracle.sql_bgp_match(),
         "kg_closure": _sql_kg_closure(),

@@ -44,6 +44,7 @@ __all__ = [
     "geo_cluster_pairs",
     "pagerank",
     "hits",
+    "label_propagation",
     "bgp_match",
     "triangles",
     "transitive_closure",
@@ -593,6 +594,70 @@ def hits(
     # already hold exactly one non-NULL row per node — one equi-join
     # zips them, no re-join against nodes needed
     return hub.join(auth, "node").select("node", "hub", "authority")
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label-propagation community detection
+    over an undirected graph — the cheap modularity-free community
+    signal (host clusters, near-dup neighborhoods beyond pure
+    connectivity). Distinct from connected_components: LPA converges
+    to DENSE groups (a node adopts its neighborhood's majority label),
+    while CC merges anything reachable.
+
+    Classic LPA is notoriously nondeterministic (random update order,
+    random tie-breaks). This formulation pins both: updates are
+    synchronous (all nodes from the same previous round) and the new
+    label is the neighbor label with (max count, then MIN label) —
+    a pure function of the graph, mirrored exactly by the oracle's
+    unrolled SQL. Fixed ``iterations`` rather than convergence: sync
+    LPA can 2-cycle on bipartite-ish structures, so a fixpoint test
+    need not terminate; fixed rounds are the standard remedy.
+
+    Nodes start with their own id as label. Each round is ONE
+    node-keyed exchange: labels join the symmetrized edge list on the
+    neighbor side, a map-side-combinable count per (node, label), and
+    a tiny per-node argmax window. Isolated nodes (no edges) keep
+    their own label. Rounds cut lineage through :func:`materialize`.
+
+    Output: ``(node, label)`` — nodes sharing a label share a
+    community.
+    """
+    e = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+    sym = materialize(
+        e.unionByName(
+            e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct(),
+        label="lpa_edges",
+    )
+    nodes = materialize(
+        sym.select(F.col("_a").alias("node")).distinct(), label="lpa_nodes"
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("_cnt"), F.asc("label"))
+    for i in range(int(iterations)):
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "_b"), "_b")
+            .groupBy(F.col("_a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        best = (
+            neigh.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        labels = materialize(
+            nodes.join(best, "node", "left")
+            .select("node", F.coalesce("label", F.col("node")).alias("label")),
+            label=f"lpa_round{i}",
+        )
+    return labels
 
 
 def bgp_match(

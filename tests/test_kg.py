@@ -726,3 +726,24 @@ def test_hits_hubs_vs_authorities(spark):
     )
     got2 = {r["node"]: r["authority"] for r in kg.hits(dup, iterations=1).collect()}
     assert got2[2] > got2[3]
+
+
+def test_label_propagation_bridged_triangles(spark):
+    """Two triangles joined by one bridge edge resolve into two
+    distinct communities; the update is a pure function of the graph
+    (synchronous rounds, (max count, min label) tie-break)."""
+    from gtfs2lc_spark import kg
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["label"]
+           for r in kg.label_propagation(edges, iterations=3).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+    # deterministic: identical on re-run
+    again = {r["node"]: r["label"]
+             for r in kg.label_propagation(edges, iterations=3).collect()}
+    assert got == again
