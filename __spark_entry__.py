@@ -258,6 +258,23 @@ def _q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.label_propagation(edges, iterations=3)
 
 
+def _q_host_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficients over the densified host
+    graph (kg.clustering_coefficients): 2T/(d(d-1)) from the
+    degree-ordered triangle enumeration."""
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    extra1 = d.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 5 + 11) % 97).alias("dst"),
+    )
+    extra2 = d.select(
+        ((F.col("doc_id") * 3 + 1) % 97).alias("src"),
+        ((F.col("doc_id") * 17 + 2) % 97).alias("dst"),
+    )
+    edges = _host_edges(spark, sf_dir).unionByName(extra1).unionByName(extra2)
+    return kg.clustering_coefficients(edges)
+
+
 def _q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-ordered triangle enumeration over the host graph —
     clustering-coefficient primitive, each triangle exactly once.
@@ -1804,6 +1821,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
         "host_communities": _q_host_communities,
+        "host_clustering": _q_host_clustering,
         "host_triangles": _q_host_triangles,
         "url_filter": _q_url_filter,
         "url_canonicalize": _q_url_canonicalize,
@@ -2833,6 +2851,42 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _sql_host_pagerank(),
         "host_hits": _sql_host_hits(),
         "host_communities": _sql_host_lpa(),
+        "host_clustering": """
+            WITH raw AS (
+              SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+              UNION ALL
+              SELECT (doc_id * 13 + 5) % 97 AS src, doc_id % 97 AS dst FROM documents
+              UNION ALL
+              SELECT doc_id % 97 AS src, (doc_id * 5 + 11) % 97 AS dst FROM documents
+              UNION ALL
+              SELECT (doc_id * 3 + 1) % 97 AS src, (doc_id * 17 + 2) % 97 AS dst FROM documents
+            ), e AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM raw WHERE src <> dst
+            ), deg AS (
+              SELECT node, COUNT(*) AS degree FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+              GROUP BY 1
+            ), tri AS (
+              SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), per_node AS (
+              SELECT node, COUNT(*) AS n_triangles FROM (
+                SELECT n1 AS node FROM tri
+                UNION ALL SELECT n2 FROM tri
+                UNION ALL SELECT n3 FROM tri)
+              GROUP BY 1
+            )
+            SELECT deg.node, deg.degree,
+                   coalesce(per_node.n_triangles, 0) AS n_triangles,
+                   CASE WHEN deg.degree >= 2 THEN
+                     round(2.0 * coalesce(per_node.n_triangles, 0)
+                           / (deg.degree * (deg.degree - 1)), 6)
+                   ELSE 0.0 END AS coeff
+            FROM deg LEFT JOIN per_node ON per_node.node = deg.node
+        """,
         "host_triangles": _sql_host_triangles(),
         "kg_bgp_match": oracle.sql_bgp_match(),
         "kg_closure": _sql_kg_closure(),

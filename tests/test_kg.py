@@ -747,3 +747,15 @@ def test_label_propagation_bridged_triangles(spark):
     again = {r["node"]: r["label"]
              for r in kg.label_propagation(edges, iterations=3).collect()}
     assert got == again
+
+
+def test_clustering_coefficients_triangle_plus_pendant(spark):
+    from gtfs2lc_spark import kg
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"])
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["coeff"])
+           for r in kg.clustering_coefficients(edges).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(1 / 3, 6))
+    assert got[4] == (1, 0, 0.0)
