@@ -275,6 +275,28 @@ def _q_host_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.clustering_coefficients(edges)
 
 
+def _q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of a SPARSE synthesized host graph (kg.k_core): nodes
+    mod 797 with three partial edge families, so pendant chains peel
+    over several rounds at sf0.01 (373 survivors in 6 rounds; the
+    denser sf0.1 graph converges immediately). The oracle unrolls 8
+    peel rounds — peeling is idempotent after convergence."""
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 797).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 797).alias("dst"),
+    )
+    e2 = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") % 797).alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 1) % 797).alias("dst"),
+    )
+    e3 = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") % 797).alias("src"),
+        ((F.col("doc_id") * 17 + 2) % 797).alias("dst"),
+    )
+    return kg.k_core(e1.unionByName(e2).unionByName(e3), k=2)
+
+
 def _q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-ordered triangle enumeration over the host graph —
     clustering-coefficient primitive, each triangle exactly once.
@@ -1822,6 +1844,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": _q_host_hits,
         "host_communities": _q_host_communities,
         "host_clustering": _q_host_clustering,
+        "host_kcore": _q_host_kcore,
         "host_triangles": _q_host_triangles,
         "url_filter": _q_url_filter,
         "url_canonicalize": _q_url_canonicalize,
@@ -2525,6 +2548,60 @@ def _sql_host_lpa(iterations: int = 3) -> str:
     return f"WITH {ctes}\nSELECT node, label FROM l{iterations}"
 
 
+def _sql_host_kcore(k: int = 2, rounds: int = 8) -> str:
+    """Mirror of kg.k_core over the sparse mod-797 host graph: the
+    peel unrolled ``rounds`` times (idempotent after convergence —
+    kg.k_core's fixpoint is reached in 6 rounds at sf0.01, 1 at
+    sf0.1, both < 8)."""
+    parts = [
+        """raw AS (
+  SELECT doc_id % 797 AS src, (doc_id * 31 + 7) % 797 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 797 AS src, (doc_id * doc_id + 1) % 797 AS dst
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id % 797 AS src, (doc_id * 17 + 2) % 797 AS dst
+  FROM documents WHERE doc_id % 5 = 0
+)""",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+)""",
+    ]
+    # every per-round CTE is MATERIALIZED: each round references the
+    # previous one 3x (directly + twice through k), so plain inlining
+    # would expand the tree 3^rounds times and exhaust file handles
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS core_degree FROM (
+    SELECT a AS node FROM e{r - 1} UNION ALL SELECT b AS node FROM e{r - 1})
+  GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE core_degree >= {int(k)})"
+        )
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT a, b FROM e{r - 1}
+  WHERE a IN (SELECT node FROM k{r}) AND b IN (SELECT node FROM k{r})
+)"""
+        )
+    parts.append(
+        f"""dfin AS (
+  SELECT node, COUNT(*) AS core_degree FROM (
+    SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds})
+  GROUP BY 1
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {ctes}\nSELECT node, core_degree FROM dfin "
+        f"WHERE core_degree >= {int(k)}"
+    )
+
+
 def _sql_host_triangles() -> str:
     """Mirror of kg.triangles over the synthesized host graph —
     id-ordered enumeration (equivalent to the Spark side's
@@ -2851,6 +2928,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _sql_host_pagerank(),
         "host_hits": _sql_host_hits(),
         "host_communities": _sql_host_lpa(),
+        "host_kcore": _sql_host_kcore(),
         "host_clustering": """
             WITH raw AS (
               SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents

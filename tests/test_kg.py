@@ -759,3 +759,16 @@ def test_clustering_coefficients_triangle_plus_pendant(spark):
     assert got[2] == (2, 1, 1.0)
     assert got[3] == (3, 1, round(1 / 3, 6))
     assert got[4] == (1, 0, 0.0)
+
+
+def test_k_core_peels_chain_keeps_triangle(spark):
+    from gtfs2lc_spark import kg
+
+    # chain 1-2-3 feeding a triangle 3-4-5: 2-core = the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (3, 5)], ["src", "dst"]
+    )
+    got = sorted(tuple(r) for r in kg.k_core(edges, k=2).collect())
+    assert got == [(3, 2), (4, 2), (5, 2)]
+    # k above max degree -> empty core
+    assert kg.k_core(edges, k=4).count() == 0
