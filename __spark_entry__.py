@@ -661,6 +661,64 @@ def _q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_events.association_rules(ev)
 
 
+def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation: per-user recency (last-event epoch sec),
+    frequency (event count), monetary (value sum), each scored 1-5 by
+    ntile under a deterministic (metric, user_id) total order — the
+    classic cohort/LTV segmentation rollup in one pass + three
+    windows over the per-user table. Scale note: the global ntile
+    windows single-task on the per-user table — fine while users are
+    dimension-sized; at 1e9+ users swap ntile for counting-sort
+    exact-quantile thresholds (text.winsorize's shape) plus a
+    broadcast bucket join."""
+    ev = _load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz"))) / 1_000_000)
+        .cast("long")
+        .alias("recency_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    wr = Window.orderBy("recency_ts", "user_id")
+    wf = Window.orderBy("frequency", "user_id")
+    wm = Window.orderBy("monetary", "user_id")
+    return per_user.select(
+        "user_id", "recency_ts", "frequency", "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+
+
+def _q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row directed-graph profile of the host graph: node/edge
+    counts, self-loop count, and the reciprocated-edge fraction (both
+    directions present) — the shape check before any iterative graph
+    op; reciprocity via one self-equi-join on the distinct edge set."""
+    e = _host_edges(spark, sf_dir).distinct()
+    loops = e.where(F.col("src") == F.col("dst"))
+    nonloop = e.where(F.col("src") != F.col("dst"))
+    rev = nonloop.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = nonloop.join(rev, ["src", "dst"], "left_semi")
+    nodes = e.select(F.col("src").alias("n")).unionByName(
+        e.select(F.col("dst").alias("n"))
+    ).distinct()
+    return (
+        nonloop.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(loops.agg(F.count(F.lit(1)).alias("n_self_loops")))
+        .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+        .select(
+            "n_nodes", "n_edges", "n_self_loops", "n_reciprocal",
+            F.round(F.col("n_reciprocal") / F.col("n_edges"), 6).alias(
+                "reciprocity"
+            ),
+        )
+    )
+
+
 def _q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence test of (lang, source) over the
     corpus (stats.chi_square): exact-integer contingency counts, cell
@@ -1826,6 +1884,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": _q_assoc_rules,
         "chi_square": _q_chi_square,
         "value_trend": _q_value_trend,
+        "rfm_segments": _q_rfm_segments,
+        "graph_summary": _q_graph_summary,
         "kg_closure": _q_kg_closure,
         "kg_rdfs_infer": _q_kg_rdfs_infer,
         "kg_bgp_match": _q_kg_bgp_match,
@@ -3092,6 +3152,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY 1, 2
+        """,
+        "rfm_segments": """
+            WITH per_user AS (
+              SELECT user_id,
+                     CAST(epoch_us(MAX(ts)) // 1000000 AS BIGINT) AS recency_ts,
+                     COUNT(*) AS frequency,
+                     round(SUM(value), 6) AS monetary
+              FROM events GROUP BY 1
+            )
+            SELECT user_id, recency_ts, frequency, monetary,
+                   CAST(ntile(5) OVER (ORDER BY recency_ts, user_id) AS INTEGER) AS r_score,
+                   CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INTEGER) AS f_score,
+                   CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS INTEGER) AS m_score
+            FROM per_user
+        """,
+        "graph_summary": """
+            WITH e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+                UNION ALL
+                SELECT (doc_id * 13 + 5) % 97 AS src, doc_id % 97 AS dst FROM documents)
+            ), nonloop AS (
+              SELECT src, dst FROM e WHERE src <> dst
+            ), recip AS (
+              SELECT a.src, a.dst FROM nonloop a
+              WHERE EXISTS (SELECT 1 FROM nonloop b
+                            WHERE b.src = a.dst AND b.dst = a.src)
+            )
+            SELECT (SELECT COUNT(DISTINCT n) FROM (
+                      SELECT src AS n FROM e UNION ALL SELECT dst FROM e)) AS n_nodes,
+                   (SELECT COUNT(*) FROM nonloop) AS n_edges,
+                   (SELECT COUNT(*) FROM e WHERE src = dst) AS n_self_loops,
+                   (SELECT COUNT(*) FROM recip) AS n_reciprocal,
+                   round((SELECT COUNT(*) FROM recip)
+                         / CAST((SELECT COUNT(*) FROM nonloop) AS DOUBLE), 6)
+                     AS reciprocity
         """,
         "chi_square": """
             WITH cells AS (
