@@ -661,6 +661,18 @@ def _q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_events.association_rules(ev)
 
 
+def _q_bag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) difference surface — exceptAll: per-type event
+    rows minus the high-value subset, keeping MULTIPLICITY (set-based
+    EXCEPT would collapse to ≤5 rows; the bag semantics are what
+    dataset-version diffing needs when rows legitimately repeat)."""
+    ev = _load(spark, sf_dir, "events").select("event_type")
+    hi = _load(spark, sf_dir, "events").where(F.col("value") > 50).select(
+        "event_type"
+    )
+    return ev.exceptAll(hi)
+
+
 def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM user segmentation: per-user recency (last-event epoch sec),
     frequency (event count), monetary (value sum), each scored 1-5 by
@@ -1886,6 +1898,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_trend": _q_value_trend,
         "rfm_segments": _q_rfm_segments,
         "graph_summary": _q_graph_summary,
+        "bag_diff": _q_bag_diff,
         "kg_closure": _q_kg_closure,
         "kg_rdfs_infer": _q_kg_rdfs_infer,
         "kg_bgp_match": _q_kg_bgp_match,
@@ -3152,6 +3165,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY 1, 2
+        """,
+        "bag_diff": """
+            SELECT event_type FROM events
+            EXCEPT ALL
+            SELECT event_type FROM events WHERE value > 50
         """,
         "rfm_segments": """
             WITH per_user AS (
