@@ -297,6 +297,21 @@ def _q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg.k_core(e1.unionByName(e2).unionByName(e3), k=2)
 
 
+def _q_host_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted personalized PageRank over the host graph
+    (kg.personalized_pagerank): edge weight = multi-edge multiplicity,
+    teleport mass returns to the seed hosts 0-9; 3 rounds, ranks
+    rounded at each materialize boundary."""
+    raw = _host_edges(spark, sf_dir)
+    weighted = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("wt"))
+    seeds = _load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 10).alias("node")
+    )
+    return kg.personalized_pagerank(
+        weighted, seeds, iterations=3, weight_col="wt"
+    )
+
+
 def _q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-ordered triangle enumeration over the host graph —
     clustering-coefficient primitive, each triangle exactly once.
@@ -1915,6 +1930,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_state_at": _q_kg_state_at,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
+        "host_ppr": _q_host_ppr,
         "host_communities": _q_host_communities,
         "host_clustering": _q_host_clustering,
         "host_kcore": _q_host_kcore,
@@ -2621,6 +2637,49 @@ def _sql_host_lpa(iterations: int = 3) -> str:
     return f"WITH {ctes}\nSELECT node, label FROM l{iterations}"
 
 
+def _sql_host_ppr(iterations: int = 3, damping: float = 0.85) -> str:
+    """Mirror of kg.personalized_pagerank over the weighted host
+    graph: per-round rounded recurrence, seed-set teleport."""
+    d = damping
+    parts = [
+        """raw AS (
+  SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+  UNION ALL
+  SELECT (doc_id * 13 + 5) % 97 AS src, doc_id % 97 AS dst FROM documents
+)""",
+        "e AS (SELECT src, dst, COUNT(*) AS wt FROM raw GROUP BY 1, 2)",
+        """nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+)""",
+        "outw AS (SELECT src, SUM(wt) AS outw FROM e GROUP BY 1)",
+        "seeds AS (SELECT DISTINCT doc_id % 10 AS node FROM documents)",
+        "ns AS (SELECT COUNT(*) AS ns FROM seeds)",
+        """tp AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL THEN 1.0 / ns.ns ELSE 0.0 END AS tp
+  FROM nodes CROSS JOIN ns LEFT JOIN seeds ON seeds.node = nodes.node
+)""",
+        "r0 AS (SELECT node, tp AS rank FROM tp)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.dst AS node, SUM(r.rank * e.wt / o.outw) AS c
+  FROM e JOIN outw o USING (src) JOIN r{k - 1} r ON r.node = e.src
+  GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""r{k} AS (
+  SELECT tp.node, round((1.0 - {d}) * tp.tp + {d} * coalesce(c{k}.c, 0.0), 6) AS rank
+  FROM tp LEFT JOIN c{k} ON c{k}.node = tp.node
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT node, rank FROM r{iterations}"
+
+
 def _sql_host_kcore(k: int = 2, rounds: int = 8) -> str:
     """Mirror of kg.k_core over the sparse mod-797 host graph: the
     peel unrolled ``rounds`` times (idempotent after convergence —
@@ -3000,6 +3059,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sameas_closure": _sql_kg_sameas_closure(),
         "host_pagerank": _sql_host_pagerank(),
         "host_hits": _sql_host_hits(),
+        "host_ppr": _sql_host_ppr(),
         "host_communities": _sql_host_lpa(),
         "host_kcore": _sql_host_kcore(),
         "host_clustering": """

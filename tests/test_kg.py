@@ -772,3 +772,23 @@ def test_k_core_peels_chain_keeps_triangle(spark):
     assert got == [(3, 2), (4, 2), (5, 2)]
     # k above max degree -> empty core
     assert kg.k_core(edges, k=4).count() == 0
+
+
+def test_personalized_pagerank_seeds_and_weights(spark):
+    from gtfs2lc_spark import kg
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["rank"]
+           for r in kg.personalized_pagerank(edges, seeds, iterations=3).collect()}
+    # seed holds the most mass; everything reachable gets some
+    assert got[1] == max(got.values())
+    assert all(v >= 0 for v in got.values())
+    # weighted single iteration: exact closed form
+    we = spark.createDataFrame([(1, 2, 9.0), (1, 3, 1.0)], ["src", "dst", "wt"])
+    got2 = {r["node"]: r["rank"]
+            for r in kg.personalized_pagerank(
+                we, seeds, iterations=1, weight_col="wt").collect()}
+    assert got2 == {1: 0.15, 2: 0.765, 3: 0.085}
