@@ -312,6 +312,13 @@ def _q_host_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation related hosts (kg.neighbor_jaccard): neighborhood
+    Jaccard for every pair sharing a neighbor — wedge-bounded pair
+    generation, exact-integer ratio."""
+    return kg.neighbor_jaccard(_host_edges(spark, sf_dir))
+
+
 def _q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-ordered triangle enumeration over the host graph —
     clustering-coefficient primitive, each triangle exactly once.
@@ -1931,6 +1938,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
         "host_ppr": _q_host_ppr,
+        "host_related": _q_host_related,
         "host_communities": _q_host_communities,
         "host_clustering": _q_host_clustering,
         "host_kcore": _q_host_kcore,
@@ -3060,6 +3068,31 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _sql_host_pagerank(),
         "host_hits": _sql_host_hits(),
         "host_ppr": _sql_host_ppr(),
+        "host_related": """
+            WITH raw AS (
+              SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+              UNION ALL
+              SELECT (doc_id * 13 + 5) % 97 AS src, doc_id % 97 AS dst FROM documents
+            ), und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM raw WHERE src <> dst
+            ), adj AS (
+              SELECT a AS node, b AS nbr FROM und
+              UNION ALL SELECT b AS node, a AS nbr FROM und
+            ), deg AS (
+              SELECT node, COUNT(*) AS d FROM adj GROUP BY 1
+            ), common AS (
+              SELECT l.node AS node_a, r.node AS node_b, COUNT(*) AS n_common
+              FROM adj l JOIN adj r ON l.nbr = r.nbr AND l.node < r.node
+              GROUP BY 1, 2
+            )
+            SELECT node_a, node_b, n_common,
+                   round(CAST(n_common AS DOUBLE)
+                         / (da.d + db.d - n_common), 6) AS jaccard
+            FROM common
+            JOIN deg da ON da.node = common.node_a
+            JOIN deg db ON db.node = common.node_b
+        """,
         "host_communities": _sql_host_lpa(),
         "host_kcore": _sql_host_kcore(),
         "host_clustering": """

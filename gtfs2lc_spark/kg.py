@@ -50,6 +50,7 @@ __all__ = [
     "triangles",
     "clustering_coefficients",
     "k_core",
+    "neighbor_jaccard",
     "transitive_closure",
     "rdfs_infer",
     "canonicalize_triples",
@@ -1034,6 +1035,80 @@ def k_core(
         )
     raise RuntimeError(
         f"k_core did not converge within {max_rounds} peel rounds"
+    )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Link-based related entities: Jaccard similarity of UNDIRECTED
+    neighborhoods for every node pair sharing ≥1 neighbor — the
+    co-citation "related hosts/entities" signal (two hosts are related
+    when the same third parties link both), computed WITHOUT materializing
+    neighbor sets:
+
+        common(a,b) = # wedges a—x—b  (one self-join on the center x)
+        jaccard     = common / (deg(a) + deg(b) - common)
+
+    — exact-integer ratio, engine-portable, rounded 6 dp. Only pairs
+    with a common neighbor ever exist, so the pair set is bounded by
+    the WEDGE count, not n². The known hazard is the celebrity center
+    (degree D mints D² pairs); ``max_center_degree`` drops hub centers
+    from wedge generation — the standard co-citation practice (a hub
+    linking everyone carries no similarity information anyway). When
+    capped, ``common`` counts only sub-hub wedges while degrees stay
+    TRUE degrees, so the score is a lower bound — documented, not
+    silent: pass None to keep exact semantics.
+
+    Output: ``(node_a, node_b, n_common, jaccard)`` with
+    ``node_a < node_b``.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    adj = materialize(
+        und.select(F.col("_a").alias("node"), F.col("_b").alias("nbr"))
+        .unionByName(und.select(F.col("_b").alias("node"), F.col("_a").alias("nbr"))),
+        label="nj_adj",
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("_deg"))
+    centers = adj.select(F.col("nbr").alias("_x"), F.col("node").alias("_n"))
+    if max_center_degree is not None:
+        ok = deg.where(F.col("_deg") <= int(max_center_degree)).select(
+            F.col("node").alias("_x")
+        )
+        centers = centers.join(ok, "_x", "left_semi")
+    left = centers.select("_x", F.col("_n").alias("node_a"))
+    right = centers.select("_x", F.col("_n").alias("node_b"))
+    common = (
+        left.join(right, "_x")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("_deg").alias("_db"))
+    return (
+        common.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_da") + F.col("_db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 

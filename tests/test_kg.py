@@ -792,3 +792,18 @@ def test_personalized_pagerank_seeds_and_weights(spark):
             for r in kg.personalized_pagerank(
                 we, seeds, iterations=1, weight_col="wt").collect()}
     assert got2 == {1: 0.15, 2: 0.765, 3: 0.085}
+
+
+def test_neighbor_jaccard_square_and_hub_cap(spark):
+    from gtfs2lc_spark import kg
+
+    # 4-cycle: opposite corners share both neighbors (jaccard 1.0)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"])
+    got = {(r["node_a"], r["node_b"]): (r["n_common"], r["jaccard"])
+           for r in kg.neighbor_jaccard(edges).collect()}
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+    # hub cap: star center 0 connected to 1..5 mints C(5,2)=10 pairs
+    # uncapped; capping center degree below 5 drops them all
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    assert kg.neighbor_jaccard(star).count() == 10
+    assert kg.neighbor_jaccard(star, max_center_degree=4).count() == 0
