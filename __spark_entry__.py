@@ -294,7 +294,10 @@ def _q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 797).alias("src"),
         ((F.col("doc_id") * 17 + 2) % 797).alias("dst"),
     )
-    return kg.k_core(e1.unionByName(e2).unionByName(e3), k=2)
+    # max_rounds=9 pins the oracle's fixed 8-round unroll as a HARD
+    # bound: regenerated data with a deeper peel makes the Spark side
+    # raise loudly instead of silently hash-diverging from the oracle
+    return kg.k_core(e1.unionByName(e2).unionByName(e3), k=2, max_rounds=9)
 
 
 def _q_host_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2656,12 +2659,13 @@ def _sql_host_ppr(iterations: int = 3, damping: float = 0.85) -> str:
   SELECT (doc_id * 13 + 5) % 97 AS src, doc_id % 97 AS dst FROM documents
 )""",
         "e AS (SELECT src, dst, COUNT(*) AS wt FROM raw GROUP BY 1, 2)",
+        "seeds AS (SELECT DISTINCT doc_id % 10 AS node FROM documents)",
         """nodes AS (
   SELECT DISTINCT node FROM (
-    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+    UNION ALL SELECT node FROM seeds)
 )""",
         "outw AS (SELECT src, SUM(wt) AS outw FROM e GROUP BY 1)",
-        "seeds AS (SELECT DISTINCT doc_id % 10 AS node FROM documents)",
         "ns AS (SELECT COUNT(*) AS ns FROM seeds)",
         """tp AS (
   SELECT nodes.node,

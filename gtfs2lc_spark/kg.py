@@ -490,17 +490,21 @@ def personalized_pagerank(
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.alias("_w")
     )
+    seeds = F.broadcast(
+        sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+    )
+    # node set = edge endpoints UNION seeds: a seed outside the edge
+    # list still holds its teleport mass (and appears in the output) —
+    # dropping it would silently leak (1-d)/|S| of rank per iteration
     nodes = materialize(
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
+        .unionByName(seeds)
         .distinct(),
         label="ppr_nodes",
     )
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
     ann = materialize(e.join(outw, "_src"), label="ppr_edges")
-    seeds = F.broadcast(
-        sources.select(F.col(sources.columns[0]).alias("node")).distinct()
-    )
     n_seeds = F.broadcast(seeds.agg(F.count(F.lit(1)).alias("_ns")))
     teleport = (
         nodes.join(seeds.withColumn("_is_seed", F.lit(1)), "node", "left")
@@ -709,8 +713,11 @@ def label_propagation(
     Nodes start with their own id as label. Each round is ONE
     node-keyed exchange: labels join the symmetrized edge list on the
     neighbor side, a map-side-combinable count per (node, label), and
-    a tiny per-node argmax window. Isolated nodes (no edges) keep
-    their own label. Rounds cut lineage through :func:`materialize`.
+    a tiny per-node argmax window. The node set is the endpoints of
+    non-self-loop edges — nodes with no (proper) edge have no
+    community signal and do NOT appear in the output; union them in
+    as singletons downstream if needed. Rounds cut lineage through
+    :func:`materialize`.
 
     Output: ``(node, label)`` — nodes sharing a label share a
     community.
@@ -735,14 +742,12 @@ def label_propagation(
             .groupBy(F.col("_a").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("_cnt"))
         )
-        best = (
+        # every node in the (symmetric) edge set has >= 1 neighbor, so
+        # `best` already covers the full node set — no fallback join
+        labels = materialize(
             neigh.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
-            .select("node", "label")
-        )
-        labels = materialize(
-            nodes.join(best, "node", "left")
-            .select("node", F.coalesce("label", F.col("node")).alias("label")),
+            .select("node", "label"),
             label=f"lpa_round{i}",
         )
     return labels
@@ -842,6 +847,32 @@ def bgp_match(
     return acc.select(*out_order)
 
 
+def _undirected(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Normalize a directed edge list to unordered ``(_a < _b)`` pairs:
+    symmetrize via least/greatest, drop self-loops, dedup. Shared by
+    every undirected-graph operator so edge normalization cannot
+    silently diverge between them."""
+    return (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+
+
+def _undirected_degrees(und: DataFrame, out_col: str = "_deg") -> DataFrame:
+    """Per-node degree of an :func:`_undirected` edge list — one
+    map-side-combinable count over the 2x endpoint expansion."""
+    return (
+        und.select(F.col("_a").alias("node"))
+        .unionByName(und.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )
+
+
 def triangles(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:
@@ -867,20 +898,14 @@ def triangles(
     an id-oriented enumeration, so the oracle can use the simpler
     id-ordering.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
-        )
-        .where(F.col("_a") != F.col("_b"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("_a").alias("node"))
-        .unionByName(e.select(F.col("_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("_deg"))
-    )
+    return _triangles_from_und(_undirected(edges, src_col, dst_col))
+
+
+def _triangles_from_und(e: DataFrame) -> DataFrame:
+    """Wedge-join triangle enumeration over an already-normalized
+    :func:`_undirected` edge list (callers that have one avoid paying
+    the normalization shuffle twice)."""
+    deg = _undirected_degrees(e)
     ann = (
         e.join(deg.select(F.col("node").alias("_a"), F.col("_deg").alias("_da")), "_a")
         .join(deg.select(F.col("node").alias("_b"), F.col("_deg").alias("_db")), "_b")
@@ -934,21 +959,9 @@ def clustering_coefficients(
 
     Output: ``(node, degree, n_triangles, coeff)``.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
-        )
-        .where(F.col("_a") != F.col("_b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("_a").alias("node"))
-        .unionByName(und.select(F.col("_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    tri = triangles(edges, src_col, dst_col)
+    und = _undirected(edges, src_col, dst_col)
+    deg = _undirected_degrees(und, "degree")
+    tri = _triangles_from_und(und)
     per_node = (
         tri.select(
             F.explode(F.array(F.col("n1"), F.col("n2"), F.col("n3"))).alias("node")
@@ -1004,22 +1017,11 @@ def k_core(
     degree inside the k-core.
     """
     und = materialize(
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
-        )
-        .where(F.col("_a") != F.col("_b"))
-        .distinct(),
-        label="kcore_edges",
+        _undirected(edges, src_col, dst_col), label="kcore_edges"
     )
     prev = -1
     for _ in range(int(max_rounds)):
-        deg = (
-            und.select(F.col("_a").alias("node"))
-            .unionByName(und.select(F.col("_b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("core_degree"))
-        )
+        deg = _undirected_degrees(und, "core_degree")
         keep = materialize(
             deg.where(F.col("core_degree") >= int(k)), label="kcore_nodes"
         )
@@ -1066,14 +1068,7 @@ def neighbor_jaccard(
     Output: ``(node_a, node_b, n_common, jaccard)`` with
     ``node_a < node_b``.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
-        )
-        .where(F.col("_a") != F.col("_b"))
-        .distinct()
-    )
+    und = _undirected(edges, src_col, dst_col)
     adj = materialize(
         und.select(F.col("_a").alias("node"), F.col("_b").alias("nbr"))
         .unionByName(und.select(F.col("_b").alias("node"), F.col("_a").alias("nbr"))),

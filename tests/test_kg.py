@@ -807,3 +807,20 @@ def test_neighbor_jaccard_square_and_hub_cap(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
     assert kg.neighbor_jaccard(star).count() == 10
     assert kg.neighbor_jaccard(star, max_center_degree=4).count() == 0
+
+
+def test_personalized_pagerank_keeps_out_of_graph_seeds(spark):
+    """A seed absent from the edge list still holds its teleport mass
+    and appears in the output (review-r5 finding)."""
+    from gtfs2lc_spark import kg
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (3,)], ["node"])
+    got = {r["node"]: r["rank"]
+           for r in kg.personalized_pagerank(edges, seeds, iterations=1).collect()}
+    assert set(got) == {1, 2, 3}
+    # node 3: teleport only = (1-0.85)*0.5
+    assert got[3] == round(0.15 * 0.5, 6)
+    # node 1 keeps its teleport share; node 2 receives 1's damped mass
+    assert got[1] == round(0.15 * 0.5, 6)
+    assert got[2] == round(0.85 * 0.5, 6)
