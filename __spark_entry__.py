@@ -782,6 +782,21 @@ def _q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 frequent 3-step event-type paths
+    (events.frequent_paths): sequence discovery beyond the transition
+    matrix, (count DESC, path ASC) total order."""
+    ev = _load(spark, sf_dir, "events")
+    return dp_events.frequent_paths(ev, length=3, top_k=50)
+
+
+def _q_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential time-decay engagement score
+    (events.decay_scores): half-life 1 day, fixed as-of anchor."""
+    ev = _load(spark, sf_dir, "events")
+    return dp_events.decay_scores(ev)
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of the event stream
     (events.transition_matrix): consecutive same-user event-type
@@ -1924,6 +1939,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _q_rfm_segments,
         "graph_summary": _q_graph_summary,
         "bag_diff": _q_bag_diff,
+        "event_paths": _q_event_paths,
+        "decay_scores": _q_decay_scores,
         "kg_closure": _q_kg_closure,
         "kg_rdfs_infer": _q_kg_rdfs_infer,
         "kg_bgp_match": _q_kg_bgp_match,
@@ -3262,6 +3279,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY 1, 2
+        """,
+        "event_paths": """
+            WITH lagged AS (
+              SELECT lag(event_type, 2) OVER w AS s1,
+                     lag(event_type, 1) OVER w AS s2,
+                     event_type AS s3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT s1 || '>' || s2 || '>' || s3 AS path, COUNT(*) AS n
+            FROM lagged WHERE s1 IS NOT NULL
+            GROUP BY 1 ORDER BY n DESC, path LIMIT 50
+        """,
+        "decay_scores": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   round(SUM(value * pow(2.0,
+                     -((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                        - epoch_us(ts)) / 1000000.0) / 86400.0)), 6)
+                     AS decay_score
+            FROM events GROUP BY 1
         """,
         "bag_diff": """
             SELECT event_type FROM events

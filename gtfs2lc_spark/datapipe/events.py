@@ -791,3 +791,84 @@ def association_rules(
     if min_support > 0:
         out = out.where(F.col("support") >= float(min_support))
     return out
+
+
+def frequent_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    length: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k most frequent length-``length`` CONSECUTIVE event-type
+    paths across all users — sequence mining one step beyond
+    :func:`transition_matrix`'s bigrams (the "what do journeys
+    actually look like" report; funnel_times checks ONE prescribed
+    path, this discovers them).
+
+    One user-keyed window pass emits ``length-1`` lags per event
+    (consecutiveness under the (ts, id) sessionize tie-break order —
+    deterministic); the path count is a map-side-combinable groupBy
+    over at most |types|^length keys, and top-k resolves via
+    TakeOrderedAndProject under the (count DESC, path ASC) total
+    order — no global sort.
+
+    Output: ``(path: "a>b>c", n)``.
+    """
+    if length < 2:
+        raise ValueError(f"length must be >= 2, got {length}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = [
+        F.lag(type_col, length - 1 - i).over(w) for i in range(length - 1)
+    ] + [F.col(type_col)]
+    path = F.concat_ws(">", *steps)
+    first = steps[0]
+    return (
+        events.select(path.alias("path"), first.alias("_first"))
+        .where(F.col("_first").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(int(top_k))
+    )
+
+
+def decay_scores(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_seconds: float = 86400.0,
+    as_of_ts: str = "2024-02-01 00:00:00",
+) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score:
+    ``Σ value · 2^(-Δt / half_life)`` with Δt measured back from a
+    FIXED ``as_of_ts`` — the recency-weighted activity signal behind
+    ranking and churn features (a click yesterday counts ~2x a click
+    two half-lives ago).
+
+    Determinism note: the per-event weight is a fixed double
+    expression over exact inputs (both engines' pow/exp2 agree to the
+    last ulp or below the 6-dp round), but the per-user SUM is
+    FP-order-dependent, so the score is rounded 6 dp — same contract
+    as every FP aggregate in the gate (pmi, nll). ``as_of_ts`` must
+    be explicit, not now(): a moving anchor makes the operator
+    non-reproducible across runs.
+
+    One map-side-combinable aggregation; zero joins.
+    Output: ``(user_id, n_events, decay_score)``.
+    """
+    dt = (
+        F.unix_micros(F.to_timestamp(F.lit(as_of_ts)).cast("timestamp_ltz"))
+        - _micros(F.col(ts_col))
+    ) / F.lit(1_000_000.0)
+    weight = F.pow(F.lit(2.0), -dt / F.lit(float(half_life_seconds)))
+    return (
+        events.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col(value_col) * weight), 6).alias("decay_score"),
+        )
+    )

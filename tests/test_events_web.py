@@ -588,3 +588,32 @@ def test_association_rules_metrics(spark):
     # min_support prunes
     pruned = ev.association_rules(df, min_support=0.4).collect()
     assert all(r["support"] >= 0.4 for r in pruned)
+
+
+def test_frequent_paths_and_decay_scores(spark):
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from gtfs2lc_spark.datapipe import events as ev
+
+    t0 = _dt.datetime(2024, 1, 31)  # one day before the decay anchor
+    rows = [
+        # user 1: a b c a b c -> paths a>b>c x2, b>c>a x1, c>a>b x1
+        (i, t0.replace(minute=i), 1, "abcabc"[i], 1.0) for i in range(6)
+    ] + [
+        # user 2: two events only -> no 3-path
+        (10, t0, 2, "a", 4.0), (11, t0.replace(minute=1), 2, "b", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    paths = {r["path"]: r["n"] for r in ev.frequent_paths(df, length=3).collect()}
+    assert paths == {"a>b>c": 2, "b>c>a": 1, "c>a>b": 1}
+    with _pytest.raises(ValueError):
+        ev.frequent_paths(df, length=1)
+    # decay: user 2's 4.0-value event sits exactly one half-life back
+    # (anchor 2024-02-01, half-life 1 day) -> weight 0.5
+    got = {r["user_id"]: r for r in ev.decay_scores(df).collect()}
+    assert got[2]["n_events"] == 2
+    assert abs(got[2]["decay_score"] - 2.0) < 1e-3
