@@ -782,6 +782,35 @@ def _q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit of the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) over the top-100 terms under the
+    (count DESC, word ASC) total order — composes the exact-sum
+    regression (stats.group_regression) on top of the token counts;
+    a healthy natural-language corpus sits near slope -1."""
+    d = _load(spark, sf_dir, "documents").select("text")
+    counts = (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(100)
+    )
+    ranked = counts.select(
+        F.lit("corpus").alias("g"),
+        F.log(
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("w"))
+            ).cast("double")
+        ).alias("ln_rank"),
+        F.log(F.col("n").cast("double")).alias("ln_freq"),
+    )
+    return dp_stats.group_regression(
+        ranked, "g", "ln_rank", "ln_freq", x_scale=6, y_scale=6
+    )
+
+
 def _q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 frequent 3-step event-type paths
     (events.frequent_paths): sequence discovery beyond the transition
@@ -1941,6 +1970,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bag_diff": _q_bag_diff,
         "event_paths": _q_event_paths,
         "decay_scores": _q_decay_scores,
+        "zipf_slope": _q_zipf_slope,
         "kg_closure": _q_kg_closure,
         "kg_rdfs_infer": _q_kg_rdfs_infer,
         "kg_bgp_match": _q_kg_bgp_match,
@@ -3279,6 +3309,45 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY 1, 2
+        """,
+        "zipf_slope": """
+            WITH ws AS (
+              SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z]+'),
+                t -> t <> '')) AS w
+              FROM documents
+            ), counts AS (
+              SELECT w, COUNT(*) AS n FROM ws GROUP BY 1
+              ORDER BY n DESC, w LIMIT 100
+            ), ranked AS (
+              SELECT 'corpus' AS g,
+                     CAST(round(ln(CAST(row_number() OVER (
+                       ORDER BY n DESC, w) AS DOUBLE)) * 1000000.0)
+                       AS HUGEINT) AS x,
+                     CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0)
+                       AS HUGEINT) AS y
+              FROM counts
+            ), s AS (
+              SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM ranked GROUP BY 1
+            )
+            SELECT g AS "group", n,
+                   round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         * 1.0, 6) AS slope,
+                   round((CAST(sy AS DOUBLE)
+                          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept
+            FROM s
+            WHERE n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
         """,
         "event_paths": """
             WITH lagged AS (
