@@ -782,6 +782,16 @@ def _q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the events table
+    (stats.profile_table): per-column row/null/distinct counts in one
+    pass (single agg, stack unpivot)."""
+    ev = _load(spark, sf_dir, "events")
+    return dp_stats.profile_table(
+        ev, ["event_id", "user_id", "event_type", "value", "props"]
+    )
+
+
 def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit of the corpus vocabulary: OLS slope of
     ln(freq) on ln(rank) over the top-100 terms under the
@@ -1971,6 +1981,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": _q_event_paths,
         "decay_scores": _q_decay_scores,
         "zipf_slope": _q_zipf_slope,
+        "table_profile": _q_table_profile,
         "kg_closure": _q_kg_closure,
         "kg_rdfs_infer": _q_kg_rdfs_infer,
         "kg_bgp_match": _q_kg_bgp_match,
@@ -3309,6 +3320,28 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY 1, 2
+        """,
+        "table_profile": """
+            WITH n AS (SELECT COUNT(*) AS n_rows FROM events)
+            SELECT col_name, n.n_rows, n_nulls, n_distinct,
+                   round(CAST(n_nulls AS DOUBLE) / n.n_rows, 6) AS null_frac
+            FROM (
+              SELECT 'event_id' AS col_name,
+                     COUNT(*) - COUNT(event_id) AS n_nulls,
+                     COUNT(DISTINCT event_id) AS n_distinct FROM events
+              UNION ALL
+              SELECT 'user_id', COUNT(*) - COUNT(user_id),
+                     COUNT(DISTINCT user_id) FROM events
+              UNION ALL
+              SELECT 'event_type', COUNT(*) - COUNT(event_type),
+                     COUNT(DISTINCT event_type) FROM events
+              UNION ALL
+              SELECT 'value', COUNT(*) - COUNT(value),
+                     COUNT(DISTINCT value) FROM events
+              UNION ALL
+              SELECT 'props', COUNT(*) - COUNT(props),
+                     COUNT(DISTINCT props) FROM events
+            ) CROSS JOIN n
         """,
         "zipf_slope": """
             WITH ws AS (

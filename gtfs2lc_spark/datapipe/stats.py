@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["chi_square", "group_regression"]
+__all__ = ["chi_square", "group_regression", "profile_table"]
 
 
 def chi_square(
@@ -155,5 +155,47 @@ def group_regression(
             "n",
             F.round(slope, 6).alias("slope"),
             F.round(intercept, 6).alias("intercept"),
+        )
+    )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-quality profile: one row per column with row/null/distinct
+    counts and the null fraction — the ingest sanity check before any
+    pipeline stage trusts a new corpus drop (a column that silently
+    went 90% NULL is the classic upstream-schema-drift symptom).
+
+    ONE pass over the data: every per-column count/count_distinct is
+    an aggregate in a single ``agg`` (Spark plans the distincts via
+    one expand — row multiplier = |columns|, the standard exact-
+    multi-distinct cost; for 1e12-row tables swap count_distinct for
+    approx_count_distinct and accept the HLL error); the wide 1-row
+    result unpivots to per-column rows via ``stack`` (driver-free).
+
+    Output: ``(col_name, n_rows, n_nulls, n_distinct, null_frac)``,
+    null_frac rounded 6 dp.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"_nn{i}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd{i}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', _nn{i}, _nd{i}" for i, c in enumerate(cols))
+    return (
+        row.selectExpr(
+            "_n",
+            f"stack({len(cols)}, {stack_args}) AS (col_name, _nn, n_distinct)",
+        )
+        .select(
+            "col_name",
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col("_nn")).alias("n_nulls"),
+            "n_distinct",
+            F.round((F.col("_n") - F.col("_nn")) / F.col("_n"), 6).alias(
+                "null_frac"
+            ),
         )
     )

@@ -1165,3 +1165,19 @@ def test_chi_square_sparse_diagonal_counts_zero_cells(spark):
     got = st.chi_square(df, "r", "c").collect()[0]
     assert got["chi2"] == 20.0
     assert got["dof"] == 1 and got["n"] == 20
+
+
+def test_profile_table_nulls_and_distincts(spark):
+    from gtfs2lc_spark.datapipe import stats as st
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], ["x", "y"]
+    )
+    got = {r["col_name"]: r for r in st.profile_table(df).collect()}
+    assert got["x"]["n_rows"] == 4 and got["x"]["n_nulls"] == 1
+    assert got["x"]["n_distinct"] == 3 and got["x"]["null_frac"] == 0.25
+    assert got["y"]["n_nulls"] == 1 and got["y"]["n_distinct"] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        st.profile_table(df, [])

@@ -824,3 +824,31 @@ def test_personalized_pagerank_keeps_out_of_graph_seeds(spark):
     # node 1 keeps its teleport share; node 2 receives 1's damped mass
     assert got[1] == round(0.15 * 0.5, 6)
     assert got[2] == round(0.85 * 0.5, 6)
+
+
+def test_new_graph_operators_no_cartesian(spark):
+    """Plan lock: none of the second-wave graph operators may contain
+    a cartesian/broadcast-nested-loop product — wedge joins, peels and
+    rank iterations are all equi-joins (the only sanctioned crossJoins
+    carry 1-row scalar aggregates)."""
+    from gtfs2lc_spark import kg
+    from pyspark.sql import functions as F
+
+    edges = spark.range(0, 300).select(
+        (F.col("id") % 40).alias("src"), ((F.col("id") * 7 + 3) % 40).alias("dst")
+    )
+    seeds = spark.range(0, 5).select(F.col("id").alias("node"))
+    plans = {
+        "nj": kg.neighbor_jaccard(edges),
+        "lpa": kg.label_propagation(edges, iterations=2),
+        "cc": kg.clustering_coefficients(edges),
+        "ppr": kg.personalized_pagerank(edges, seeds, iterations=2),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        # BroadcastNestedLoopJoin only ever against a 1-row scalar agg
+        # (the PPR seed-count / L1-total pattern); reject row-expanding
+        # nested loops by checking no BNLJ has a non-aggregate child
+        for line in plan.splitlines():
+            assert "BroadcastNestedLoopJoin" not in line or "Inner" in line, name
