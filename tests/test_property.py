@@ -163,3 +163,71 @@ def test_setsim_join_matches_brute_force(spark, docs, threshold):
             if jac >= threshold:
                 want[(i, j)] = jac
     assert got == want
+
+
+@_SET
+@given(
+    fact_keys=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=40),
+    key_set=st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=15),
+    m_bits=st.sampled_from([64, 256, 1 << 12]),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_bloom_semi_join_equals_semi_join_property(spark, fact_keys, key_set, m_bits, k):
+    """bloom_semi_join is LOSSLESS for every (m_bits, k), including a
+    64-bit saturated bitmap where correctness rides on the confirm."""
+    from gtfs2lc_spark.datapipe import sketch
+
+    big = spark.createDataFrame(
+        [(kk, i) for i, kk in enumerate(fact_keys)], "key long, v long"
+    )
+    keys = spark.createDataFrame([(kk,) for kk in key_set] or [(None,)], "k long")
+    got = sorted(
+        (r["key"], r["v"])
+        for r in sketch.bloom_semi_join(big, "key", keys, "k",
+                                        m_bits=m_bits, k=k).collect()
+    )
+    want = sorted(
+        (kk, i) for i, kk in enumerate(fact_keys) if kk in set(key_set)
+    )
+    assert got == want
+
+
+@_SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # group
+            st.integers(min_value=0, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    ps=st.tuples(st.integers(1, 49), st.integers(51, 100)),
+)
+def test_winsorize_bounds_property(spark, rows, ps):
+    """Clipped values always lie inside the group's exact disc
+    [p_lo, p_hi]; unclipped rows pass through identical; row count
+    preserved."""
+    from gtfs2lc_spark.datapipe import text as t
+
+    lo_p, hi_p = ps
+    df = spark.createDataFrame(
+        [(i, f"g{g}", v) for i, (g, v) in enumerate(rows)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = t.winsorize(df, lower_p=lo_p, upper_p=hi_p).collect()
+    assert len(out) == len(rows)
+    # brute-force disc quantile model
+    import math
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for g, v in rows:
+        vals[f"g{g}"].append(v)
+    for r in out:
+        sv = sorted(vals[r["group"]])
+        n = len(sv)
+        qlo = sv[math.ceil(lo_p * n / 100) - 1]
+        qhi = sv[math.ceil(hi_p * n / 100) - 1]
+        assert r["clipped"] == min(max(r["value"], qlo), qhi)
+        assert r["was_clipped"] == (r["clipped"] != r["value"])
