@@ -782,6 +782,23 @@ def _q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type equi-width value histogram with FIXED bounds
+    ([0, 500), width 25, clamped overflow buckets) — fixed bounds keep
+    the op one-pass and cross-run comparable (data-dependent bounds
+    need a second pass and break dashboard continuity); the
+    equi-DEPTH complement is quantile_bins."""
+    ev = _load(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 25).cast("long"), F.lit(0)),
+        F.lit(19),
+    )
+    return (
+        ev.groupBy(F.col("event_type"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the events table
     (stats.profile_table): per-column row/null/distinct counts in one
@@ -1982,6 +1999,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_scores": _q_decay_scores,
         "zipf_slope": _q_zipf_slope,
         "table_profile": _q_table_profile,
+        "value_histogram": _q_value_histogram,
         "kg_closure": _q_kg_closure,
         "kg_rdfs_infer": _q_kg_rdfs_infer,
         "kg_bgp_match": _q_kg_bgp_match,
@@ -3320,6 +3338,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY 1, 2
+        """,
+        "value_histogram": """
+            SELECT event_type,
+                   least(greatest(CAST(floor(value / 25) AS BIGINT), 0), 19)
+                     AS bucket,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "table_profile": """
             WITH n AS (SELECT COUNT(*) AS n_rows FROM events)
