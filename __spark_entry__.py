@@ -980,15 +980,19 @@ def _q_w4_dense_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_o2_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 shape: deterministic multi-key ordering surfaced as
-    row_number — via the distributed dense_index ((ts, event_id) keys
-    are unique, so dense rank == row number) instead of a global
-    single-reducer Window.orderBy."""
+    row_number, truncated to the 500 smallest keys. r6: the rn <= 500
+    predicate makes this a top-k — orderBy().limit(500) compiles to
+    TakeOrderedAndProject (per-partition top-k heaps, NO shuffle, no
+    full-table rank), and the row numbers of the 500 survivors are a
+    trivial single-partition window over 500 rows. Identical output to
+    the previous full dense_index + filter ((ts, event_id) keys are
+    unique, so dense rank == row number); the full-table rank shape
+    stays covered by w4_dense_index."""
     e = _load(spark, sf_dir, "events")
-    out = sinks.dense_index(e.select("ts", "event_id"), ["ts", "event_id"], n_parts=8)
-    return (
-        out.withColumn("rn", (F.col("_dense_idx") + 1).cast("int"))
-        .where(F.col("rn") <= 500)
-        .select("rn", "event_id")
+    top = e.select("ts", "event_id").orderBy("ts", "event_id").limit(500)
+    w = Window.orderBy("ts", "event_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rn"), "event_id"
     )
 
 

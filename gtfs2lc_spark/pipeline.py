@@ -475,6 +475,18 @@ def rules_to_connections(
         )
         with_dates = clean.unionByName(dirty_deduped.select(*with_dates.columns))
 
+    # r6 (guide §2.3 — do per-row work BEFORE the fan-out): the
+    # duration strings are RULE-level values, constant across a rule's
+    # ~|dates| exploded copies, so parse them once per rule here (three
+    # longs ride the explode instead of three split+cast chains
+    # re-running per connection — measured ~1.7x on the skew convert
+    # sections, see OPTIMIZATION_r06.md).
+    with_dates = (
+        with_dates.withColumn("_dep_s", dfm_seconds(F.col("departure_dfm")))
+        .withColumn("_arr_s", dfm_seconds(F.col("arrival_dfm")))
+        .withColumn("_start_s", dfm_seconds(F.col("trip_start_dfm")))
+    )
+
     # an EXPLICIT exchange must sit between the (tiny, AQE-coalescible)
     # upstream shuffles and the ~180x explode, with or without salt —
     # otherwise AQE coalesces the small pre-explode bytes to one
@@ -493,23 +505,43 @@ def rules_to_connections(
         F.explode(F.coalesce("dates", empty)),
     ).drop("dates")
 
-    # local midnight of service day in feed tz, as absolute instant
-    midnight = F.to_utc_timestamp(F.to_timestamp("service_date", "yyyyMMdd"), feed_tz)
-    midnight_epoch = F.unix_timestamp(midnight)
-
+    # local midnight of service day in feed tz, as absolute instant.
+    # r6 (guide §2.3): service_date values repeat massively post-explode
+    # (a corpus year has ~365 distinct days, each exploded onto ~10^4-
+    # 10^6 connections), so the yyyyMMdd parse + timezone conversion is
+    # computed once per DISTINCT date in a tiny broadcast dimension and
+    # attached with a hash probe, instead of re-running java.time
+    # parsing per connection. LEFT join: an unparseable or null date
+    # yields a null epoch -> null timestamps, exactly the inline
+    # expression's behavior (and explode never multiplies — the dim is
+    # distinct by construction).
+    dates_dim = (
+        services.select(F.explode("dates").alias("service_date"))
+        .distinct()
+        .withColumn(
+            "_mid_ep",
+            F.unix_timestamp(
+                F.to_utc_timestamp(F.to_timestamp("service_date", "yyyyMMdd"), feed_tz)
+            ),
+        )
+    )
+    helper_cols = ("_dep_s", "_arr_s", "_start_s")
+    out_cols = [c for c in exploded.columns if c not in helper_cols]
     conns = (
-        exploded.withColumn(
+        exploded.join(F.broadcast(dates_dim), "service_date", "left")
+        .withColumn(
             "departure_ts",
-            F.timestamp_seconds(midnight_epoch + dfm_seconds(F.col("departure_dfm"))),
+            F.timestamp_seconds(F.col("_mid_ep") + F.col("_dep_s")),
         )
         .withColumn(
             "arrival_ts",
-            F.timestamp_seconds(midnight_epoch + dfm_seconds(F.col("arrival_dfm"))),
+            F.timestamp_seconds(F.col("_mid_ep") + F.col("_arr_s")),
         )
         .withColumn(
             "trip_start_ts",
-            F.timestamp_seconds(midnight_epoch + dfm_seconds(F.col("trip_start_dfm"))),
+            F.timestamp_seconds(F.col("_mid_ep") + F.col("_start_s")),
         )
+        .select(*out_cols, "departure_ts", "arrival_ts", "trip_start_ts")
     )
 
     return conns

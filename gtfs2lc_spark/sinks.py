@@ -325,9 +325,25 @@ def dense_index(
     land in bucket 0, matching the window's default nulls-first
     ascending order.
 
+    r6 OPTIMIZATION (guide §2.3/§3, worked-example §8 "decide with
+    small rows, move big rows once"): the rank machinery now runs over
+    the DISTINCT key set only — the dense index is a pure function of
+    the distinct keys, so sampling, bucketing, sorting and ranking a
+    full-width fact (10 triples share each subj at the w4 call site,
+    ~300 B/row vs ~100 B/key) paid a ~10x byte tax on every stage. The
+    fact rows are touched exactly once, by a single null-safe
+    shuffled-hash join against the (key -> index) map: the fact side
+    shuffles the same bytes the old _pid repartition moved, but is
+    never SORTED (the old shape local-sorted every full-width row
+    inside its bucket; SMJ would sneak that sort back in — hence the
+    explicit SHUFFLE_HASH hint; the build side is |distinct keys| /
+    shuffle-partitions rows per task, the small-rows side by
+    construction). Measured at the w4 bench section (21.6M triples,
+    2.5M subjects, local[32]): 12.4 s best -> see OPTIMIZATION_r06.md.
+
     Contract: ``df`` must be deterministic across jobs (a table scan or
     a checkpointed intermediate) — the boundary-sampling action and the
-    fused rank job are separate jobs over the same lineage, so an input
+    rank+join job are separate jobs over the same lineage, so an input
     derived from sample()/rand() would let boundaries disagree with the
     data they bucket. Every in-repo caller passes a scan or an eager
     localCheckpoint."""
@@ -335,25 +351,39 @@ def dense_index(
     n_parts = n_parts or spark.sparkContext.defaultParallelism
     key_struct = F.struct(*[F.col(c) for c in key_cols])
 
+    # the ranked set: one row per distinct key (map-side partial
+    # aggregate -> only distinct keys cross the wire)
+    keys = df.select(*key_cols).distinct()
+
     boundaries: list[tuple] = []
     if n_parts > 1:
-        # uniform row sample WITHOUT a sizing count(): the sample_size
-        # rows with the smallest per-row hash — hash rank is
-        # independent of key order, and TakeOrderedAndProject keeps the
-        # whole pass map-side (a k-heap per partition, driver merge).
-        # null-containing keys are excluded from boundary candidates
-        # (they sort before every boundary -> bucket 0, the window's
-        # nulls-first order) — and None tuples don't sort in Python.
+        # uniform row sample WITHOUT a sizing count(): the k rows with
+        # the smallest per-row hash — hash rank is independent of key
+        # order, and TakeOrderedAndProject keeps the whole pass
+        # map-side (a k-heap per partition, driver merge). Sampling
+        # runs over the RAW rows, not the distinct keys: it needs no
+        # aggregation that way (the rank branch's distinct shuffle
+        # would otherwise run twice — once for this action, once for
+        # the rank job), and row-weighted boundaries are fine: they
+        # only affect bucket balance. null-containing keys are
+        # excluded from boundary candidates (they sort before every
+        # boundary -> bucket 0, the window's nulls-first order) — and
+        # None tuples don't sort in Python.
         # The hash includes a PER-ROW disambiguator: hashing the key
         # alone is all-or-nothing per key (equal keys share one hash),
-        # so a single key with >= sample_size rows whose hash landed in
-        # the bottom-k would deterministically flood the whole sample
-        # and collapse the boundaries to ~1. With the row id mixed in,
+        # so a single key with >= eff_k rows whose hash landed in the
+        # bottom-k would deterministically flood the whole sample and
+        # collapse the boundaries to ~1. With the row id mixed in,
         # each row is an independent uniform draw — a hot key is
         # represented proportionally IN EXPECTATION with binomial
         # concentration, never exclusively. (The row id is only
         # run-stable, not job-stable — fine: the sample is collected
         # exactly once and its boundaries become plan literals.)
+        # Effective k: boundaries only affect bucket BALANCE, so
+        # ~256 samples per bucket (±6%) is plenty; the old flat 100k
+        # default made the per-partition top-k heap the dominant cost
+        # of the whole sample pass.
+        eff_k = min(sample_size, max(4096, 256 * n_parts))
         narrow = df.select(
             *key_cols,
             F.xxhash64(
@@ -363,16 +393,16 @@ def dense_index(
         # .rdd triggers physical planning only (no job); with AQE the
         # count is the pre-execution estimate, fine for a path heuristic
         n_input_parts = max(1, df.rdd.getNumPartitions())
-        if n_input_parts * sample_size > _SAMPLE_DRIVER_BUDGET_ROWS:
+        if n_input_parts * eff_k > _SAMPLE_DRIVER_BUDGET_ROWS:
             # huge-P path: bound driver traffic at O(k) via a counted
             # hash threshold (see docstring)
             total = narrow.count()
-            frac = min(1.0, (2.0 * sample_size) / total) if total else 0.0
+            frac = min(1.0, (2.0 * eff_k) / total) if total else 0.0
             thresh = min(2**63 - 1, int(-(2.0**63) + frac * 2.0**64))
             narrow = narrow.where(F.col("_h") <= F.lit(thresh))
         sample = sorted(
             tuple(r)[:-1]
-            for r in narrow.orderBy("_h").limit(sample_size).collect()
+            for r in narrow.orderBy("_h").limit(eff_k).collect()
             if None not in tuple(r)[:-1]
         )
         if sample:
@@ -391,28 +421,25 @@ def dense_index(
         # INT vs BIGINT) or the struct comparison fails to resolve
         blit = F.struct(*[F.lit(v).cast(dt) for v, dt in zip(b, key_types)])
         bucket = bucket + F.when(key_struct > blit, F.lit(1)).otherwise(F.lit(0))
-    parts = df.withColumn("_pid", bucket)
+    parts = keys.withColumn("_pid", bucket)
     # branch A: explicit exchange on the bucket id (explicit
     # numPartitions keeps AQE from coalescing the bucket layout), then
-    # a within-bucket local sort + dense rank
+    # a within-bucket local sort + row_number (keys are distinct by
+    # construction, so row_number == dense_rank over the bucket)
     ex = parts.repartition(len(boundaries) + 1, "_pid")
     w = Window.partitionBy("_pid").orderBy(*key_cols)
-    ranked = ex.withColumn("_rank", F.dense_rank().over(w).cast("long"))
+    ranked = ex.withColumn("_rank", F.row_number().over(w).cast("long"))
 
-    # branch B hangs off the UN-repartitioned input on purpose: the
-    # planner then dedups (_pid, key) with a map-side partial
-    # aggregate BEFORE its exchange, so only distinct pairs shuffle
-    # (and the scan is column-pruned to the key columns — under an
-    # explicit repartition every raw row would shuffle). A global
+    # branch B hangs off the UN-repartitioned keys on purpose: the
+    # planner dedups nothing extra (keys are already distinct) but the
+    # shared distinct-aggregate exchange is ReuseExchange'd between the
+    # branches, so the input is scanned and shuffled once. A global
     # window over the <= n_parts bucket counts turns them into
     # cumulative offsets, broadcast-joined back onto branch A — one
-    # lazy plan, no driver barrier between the passes.
-    # countDistinct over the STRUCT, not the bare columns: SQL
-    # count(distinct a, b) drops rows where any column is null, which
-    # would leave every later bucket's offset short by the null-key
-    # group and collide indexes; a struct with null fields is itself
-    # non-null and counts as one distinct key
-    cnts = parts.groupBy("_pid").agg(F.countDistinct(key_struct).alias("_n"))
+    # lazy plan, no driver barrier between the passes. Plain count(*):
+    # null-keyed rows are real distinct keys here and must be counted
+    # (the old countDistinct-over-struct note, inherited).
+    cnts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     offs = cnts.select(
         "_pid",
         F.coalesce(
@@ -422,10 +449,24 @@ def dense_index(
             F.lit(0),
         ).cast("long").alias("_off"),
     )
-    return (
+    idx_map = (
         ranked.join(F.broadcast(offs), "_pid")
-        .withColumn("_dense_idx", F.col("_rank") - 1 + F.col("_off"))
-        .drop("_rank", "_pid", "_off")
+        .select(
+            *[F.col(c).alias(f"_mk_{i}") for i, c in enumerate(key_cols)],
+            (F.col("_rank") - 1 + F.col("_off")).alias("_dense_idx"),
+        )
+    )
+    # attach the index to the fact rows: ONE null-safe equi-join (the
+    # map contains every distinct key incl. null-field ones, so every
+    # fact row matches exactly once). SHUFFLE_HASH pins the build on
+    # the map side and keeps the fact side sort-free; SMJ here would
+    # re-introduce the full-width sort this rewrite removes.
+    cond = None
+    for i, c in enumerate(key_cols):
+        term = df[c].eqNullSafe(F.col(f"_mk_{i}"))
+        cond = term if cond is None else (cond & term)
+    return df.join(idx_map.hint("shuffle_hash"), cond).drop(
+        *[f"_mk_{i}" for i in range(len(key_cols))]
     )
 
 

@@ -66,12 +66,19 @@ def percent_encode(col: Column) -> Column:
     java.net.URLEncoder (F.url_encode) differs from RFC 6570 simple
     expansion in exactly three ways; fix each: ' '->'+' (must be %20),
     '*' kept (must be %2A), '~'->%7E (must stay '~').
+
+    Fast path (r6, guide §1.2 per-task work): values made only of
+    unreserved chars ([A-Za-z0-9._~-]) encode to themselves, and that
+    is the overwhelming case for GTFS ids/dates — one compiled-regex
+    scan replaces four per-row string allocations (url_encode + three
+    replaces). The slow branch is byte-identical to before, so outputs
+    are unchanged for every input.
     """
     enc = F.url_encode(col)
     enc = F.replace(enc, F.lit("+"), F.lit("%20"))
     enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
     enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
-    return enc
+    return F.when(col.rlike("^[A-Za-z0-9_.~-]*$"), col).otherwise(enc)
 
 
 @dataclass
