@@ -710,7 +710,9 @@ def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast bucket join."""
     ev = _load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
-        (F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz"))) / 1_000_000)
+        # floor, not truncate-toward-zero: the oracle computes
+        # epoch_us // 1000000, which differs for pre-1970 timestamps
+        F.floor(F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz"))) / 1_000_000)
         .cast("long")
         .alias("recency_ts"),
         F.count(F.lit(1)).alias("frequency"),

@@ -596,8 +596,16 @@ def gap_fill(
     Output: ``(user_id, bucket_start: long epoch sec, value, observed)``.
     """
     step = int(step_seconds)
-    sec = (_micros(F.col(ts_col)) / F.lit(1_000_000).cast("bigint")).cast("long")
-    bucket = ((sec / F.lit(step)).cast("long") * step).alias("_bucket")
+    # FLOOR division of the epoch micros (ADVICE r5 #1): the oracle
+    # buckets via epoch_us // (step * 1e6); a double-divide +
+    # cast('long') truncates toward zero, mis-bucketing pre-1970
+    # timestamps. pmod is non-negative, so (micros - pmod) is the exact
+    # floor multiple and the remaining division is exact (multiples of
+    # step_us are < 2^53 for any realistic epoch).
+    mic = _micros(F.col(ts_col))
+    step_us = F.lit(step * 1_000_000).cast("bigint")
+    floor_q = ((mic - F.pmod(mic, step_us)) / step_us).cast("long")
+    bucket = (floor_q * step).alias("_bucket")
     rolled = (
         events.select(F.col(user_col), bucket, F.col(value_col).alias("_v"))
         .groupBy(user_col, "_bucket")
@@ -823,14 +831,24 @@ def frequent_paths(
     steps = [
         F.lag(type_col, length - 1 - i).over(w) for i in range(length - 1)
     ] + [F.col(type_col)]
-    path = F.concat_ws(">", *steps)
+    # NULL-PROPAGATING concatenation (ADVICE r5 #2): the oracle builds
+    # the path with '||', so a window containing a NULL event_type
+    # yields a NULL path (one grouped row), not a silently shorter
+    # path — concat matches that; concat_ws would skip the NULL and
+    # count e.g. 'a>b' as a 3-path. NULLS LAST on the tiebreak mirrors
+    # DuckDB's ASC default so the top-k boundary agrees too.
+    sep = F.lit(">")
+    interleaved: list = []
+    for s in steps[:-1]:
+        interleaved += [s, sep]
+    path = F.concat(*interleaved, steps[-1])
     first = steps[0]
     return (
         events.select(path.alias("path"), first.alias("_first"))
         .where(F.col("_first").isNotNull())
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("path"))
+        .orderBy(F.desc("n"), F.asc_nulls_last("path"))
         .limit(int(top_k))
     )
 

@@ -180,14 +180,23 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         raise ValueError("profile_table needs at least one column")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):
-        aggs.append(F.count(F.col(c)).alias(f"_nn{i}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd{i}"))
+        # df[c] resolves the name against the schema literally (a name
+        # containing '.' or '`' is a column reference, never a path)
+        aggs.append(F.count(df[c]).alias(f"_nn{i}"))
+        aggs.append(F.count_distinct(df[c]).alias(f"_nd{i}"))
     row = df.agg(*aggs)
-    stack_args = ", ".join(f"'{c}', _nn{i}, _nd{i}" for i, c in enumerate(cols))
+    # typed Column expressions, not a selectExpr string (ADVICE r5 #4):
+    # a column name containing a quote/backtick must become a literal
+    # cell, never interpolated SQL
+    stack_cols: list = []
+    for i, c in enumerate(cols):
+        stack_cols += [F.lit(c), F.col(f"_nn{i}"), F.col(f"_nd{i}")]
     return (
-        row.selectExpr(
+        row.select(
             "_n",
-            f"stack({len(cols)}, {stack_args}) AS (col_name, _nn, n_distinct)",
+            F.stack(F.lit(len(cols)), *stack_cols).alias(
+                "col_name", "_nn", "n_distinct"
+            ),
         )
         .select(
             "col_name",

@@ -261,12 +261,20 @@ def merge_movements(
 
 def link_next_connections(merged: DataFrame) -> DataFrame:
     """J9: per-trip nextConnection chains + split/join branch links
-    (joinConnections, sort.js:137-190)."""
+    (joinConnections, sort.js:137-190).
+
+    The keyed + lead-window frame is materialized once (r6): five plan
+    branches read it (final projection, keys, split sources, last
+    connections — plus the rare-side probes), and Catalyst shares no
+    common sub-plans, so each branch re-ran the per-trip window
+    (exchange + sort over the full connection set) — four window
+    executions where one suffices."""
     df = merged.withColumn("_key", _key_struct())
     w_trip = Window.partitionBy("gtfs_trip").orderBy("_key")
-    df = (
+    df = materialize(
         df.withColumn("_next_id", F.lead("id").over(w_trip))
-        .withColumn("_next_wsi", F.lead("willSplitInto").over(w_trip))
+        .withColumn("_next_wsi", F.lead("willSplitInto").over(w_trip)),
+        "j9-keyed",
     )
 
     keys = df.select(
@@ -274,15 +282,24 @@ def link_next_connections(merged: DataFrame) -> DataFrame:
     )
 
     # split links: c has willSplitInto, a next connection, and that next
-    # connection is not itself a split point (sort.js:150-156)
+    # connection is not itself a split point (sort.js:150-156).
+    # r6 (guide §3.1): split points are STRUCTURALLY rare (a handful of
+    # joined/split trips per feed; usually zero) but the planner cannot
+    # estimate that through the size() filters, so without the hint
+    # every one of these joins became a SortMergeJoin that shuffled and
+    # sorted the FULL connection set even when the rare side was empty.
+    # Broadcasting the rare side turns them into broadcast joins — the
+    # big side never re-shuffles. (A hostile corpus where most
+    # connections are split points would blow the broadcast; that input
+    # shape fails loudly at the 8 GB broadcast cap, documented.)
     split_src = df.where(
         (F.size("willSplitInto") > 0)
         & F.col("_next_id").isNotNull()
         & (F.coalesce(F.size("_next_wsi"), F.lit(0)) == 0)
     ).select("id", "_key", F.posexplode("willSplitInto").alias("_pos", "_split_trip"))
     split_links = (
-        split_src.join(
-            keys,
+        keys.join(
+            F.broadcast(split_src),
             (keys["_ktrip"] == split_src["_split_trip"]) & (keys["_kkey"] > split_src["_key"]),
             "inner",
         )
@@ -296,6 +313,10 @@ def link_next_connections(merged: DataFrame) -> DataFrame:
     # joined-trip inheritance: c is its trip's LAST connection; find the
     # earliest later merged connection M that absorbed c's trip, then
     # link to M's trip's first connection after c (sort.js:157-163)
+    # setters (rows that absorbed a trip) are as rare as split points —
+    # broadcast them for the same guide §3.1 reason; the inherited
+    # result is bounded by |setters| x |their absorbed trips|, so it
+    # broadcasts too, and the keys probe stays shuffle-free.
     setters = merged.where(F.size("joinedWithTrip") > 0).select(
         F.col("gtfs_trip").alias("_abs_trip"),
         _key_struct().alias("_mk"),
@@ -304,15 +325,17 @@ def link_next_connections(merged: DataFrame) -> DataFrame:
     last_conns = df.where(F.col("_next_id").isNull()).select("id", "gtfs_trip", "_key")
     inherited = (
         last_conns.join(
-            setters,
+            F.broadcast(setters),
             (setters["_absorbed"] == last_conns["gtfs_trip"])
             & (setters["_mk"] > last_conns["_key"]),
             "inner",
         )
         .groupBy("id", "_key")
         .agg(F.min_by("_abs_trip", "_mk").alias("_target_trip"))
-        .join(
-            keys,
+    )
+    inherited = (
+        keys.join(
+            F.broadcast(inherited),
             on=[keys["_ktrip"] == F.col("_target_trip"), keys["_kkey"] > F.col("_key")],
             how="inner",
         )
@@ -321,8 +344,8 @@ def link_next_connections(merged: DataFrame) -> DataFrame:
     )
 
     out = (
-        df.join(split_links, "id", "left")
-        .join(inherited, "id", "left")
+        df.join(F.broadcast(split_links), "id", "left")
+        .join(F.broadcast(inherited), "id", "left")
         .withColumn(
             "nextConnection",
             F.when(

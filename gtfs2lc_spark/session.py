@@ -36,6 +36,15 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r6 negative result (guide §1.2 — config only with
+        # measurement): lowering skewJoin.skewedPartitionThresholdInBytes
+        # / advisoryPartitionSizeInBytes to make AQE split the explosive
+        # rule x service-date join was measured SLOWER (1m/1m: 10.2 s vs
+        # 8.1 s default on the 60k-rule skew join) — input-byte
+        # detection cannot price a 180x output fan-out, and sub-MB
+        # advisory sizes fragment every other exchange. Defaults kept;
+        # explicit salting (skew.salted_join / pipeline salt_n) remains
+        # the fix for that shape, as PLANS.md documents.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # python workers cost ~1.5s CPU each to import pandas; reuse them

@@ -532,8 +532,12 @@ def connections_to_triples(
     (lib/Connections2Triples.js:28-107).
 
     7 fixed triples per connection + conditional headsign/pickup/dropOff.
-    Implemented as a per-row literal array + explode: a narrow map-side
-    op, no shuffle; the 10x row multiply stays partition-local.
+    Implemented as a per-row literal array + ``inline``: a narrow
+    map-side op, no shuffle; the 10x row multiply stays partition-local.
+    (r6: inline instead of explode-struct-then-reproject — the generator
+    emits the four quad columns directly, skipping one per-row struct
+    copy; A/B-measured ~5% at the 21.6M-quad headline, 4.30 s vs 4.51 s
+    best interleaved.)
     """
     uris = uris or URIStrategy(cc=ConnectionColumns())
     cc = uris.cc
@@ -541,8 +545,8 @@ def connections_to_triples(
 
     def t(pred: str, obj: Column, kind: str, dt: str | None = None) -> Column:
         return F.struct(
-            obj.alias("obj"),
             F.lit(pred).alias("pred"),
+            obj.alias("obj"),
             F.lit(kind).alias("obj_kind"),
             F.lit(dt).cast("string").alias("obj_datatype"),
         )
@@ -566,15 +570,9 @@ def connections_to_triples(
         t(f"{GTFS}pickupType", _boarding(F.col("pickup_type"), short=False), "iri"),
     )
     return (
-        conns.select(subj.alias("subj"), F.explode(quads).alias("q"))
-        .where(F.col("q.obj").isNotNull())
-        .select(
-            "subj",
-            F.col("q.pred").alias("pred"),
-            F.col("q.obj").alias("obj"),
-            F.col("q.obj_kind").alias("obj_kind"),
-            F.col("q.obj_datatype").alias("obj_datatype"),
-        )
+        conns.select(subj.alias("subj"), F.inline(quads))
+        .where(F.col("obj").isNotNull())
+        .select("subj", "pred", "obj", "obj_kind", "obj_datatype")
     )
 
 

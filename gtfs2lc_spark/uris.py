@@ -67,18 +67,17 @@ def percent_encode(col: Column) -> Column:
     expansion in exactly three ways; fix each: ' '->'+' (must be %20),
     '*' kept (must be %2A), '~'->%7E (must stay '~').
 
-    Fast path (r6, guide §1.2 per-task work): values made only of
-    unreserved chars ([A-Za-z0-9._~-]) encode to themselves, and that
-    is the overwhelming case for GTFS ids/dates — one compiled-regex
-    scan replaces four per-row string allocations (url_encode + three
-    replaces). The slow branch is byte-identical to before, so outputs
-    are unchanged for every input.
+    (r6 note: a skip-encoding fast path — when(rlike unreserved-only,
+    col).otherwise(enc) — was A/B-measured NEUTRAL at the 21.6M-quad
+    headline, best 4.49 s vs 4.48 s interleaved in one session: the
+    regex scan costs what the four allocations cost. Not kept; see
+    OPTIMIZATION_r06.md.)
     """
     enc = F.url_encode(col)
     enc = F.replace(enc, F.lit("+"), F.lit("%20"))
     enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
     enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
-    return F.when(col.rlike("^[A-Za-z0-9_.~-]*$"), col).otherwise(enc)
+    return enc
 
 
 @dataclass
