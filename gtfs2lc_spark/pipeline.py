@@ -511,10 +511,13 @@ def rules_to_connections(
     # 10^6 connections), so the yyyyMMdd parse + timezone conversion is
     # computed once per DISTINCT date in a tiny broadcast dimension and
     # attached with a hash probe, instead of re-running java.time
-    # parsing per connection. LEFT join: an unparseable or null date
-    # yields a null epoch -> null timestamps, exactly the inline
-    # expression's behavior (and explode never multiplies — the dim is
-    # distinct by construction).
+    # parsing per connection. LEFT join so a date value absent from the
+    # dim (impossible by construction — the dim is the distinct of the
+    # same arrays — but belt-and-braces) yields null timestamps rather
+    # than dropping rows; the dim is distinct, so the join never
+    # multiplies. Unparseable date STRINGS throw under ANSI mode in
+    # both this and the old inline shape (verified parity r6) — same
+    # loud failure, now once per distinct value instead of per row.
     dates_dim = (
         services.select(F.explode("dates").alias("service_date"))
         .distinct()

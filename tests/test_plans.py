@@ -280,3 +280,32 @@ def test_semantic_dedup_plan_no_cartesian(spark):
     plan = _executed_plan(similarity.semantic_dedup(e, threshold=0.3, n_centroids=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_j9_linking_plan_has_no_sort_merge_join(spark):
+    """r6: the split/join link sides are structurally rare and now
+    broadcast; without the hints every one of these joins was a
+    SortMergeJoin that shuffled + sorted the full connection set even
+    when the rare side was empty."""
+    from pyspark.sql import functions as F
+
+    from gtfs2lc_spark import postprocess
+
+    jsonld = spark.createDataFrame(
+        [
+            ("c1", "t1", "2024-01-01T00:00:00.000Z", "2024-01-01T00:10:00.000Z",
+             "r1", "A", "B", "gtfs:Regular", "gtfs:Regular"),
+            ("c2", "t1", "2024-01-01T00:10:00.000Z", "2024-01-01T00:20:00.000Z",
+             "r1", "B", "C", "gtfs:Regular", "gtfs:Regular"),
+        ],
+        "id string, gtfs_trip string, departureTime string, arrivalTime string, "
+        "gtfs_route string, departureStop string, arrivalStop string, "
+        "gtfs_pickupType string, gtfs_dropOffType string",
+    )
+    linked = postprocess.link_next_connections(
+        postprocess.merge_movements(jsonld)
+    )
+    plan = linked._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    got = {r.id: r.nextConnection for r in linked.collect()}
+    assert got["c1"] == ["c2"] and got["c2"] is None
